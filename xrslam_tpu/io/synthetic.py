@@ -1,0 +1,232 @@
+"""Synthetic VIO scene generator: smooth analytic trajectory + landmark
+cloud + ideal IMU + bearing observations.
+
+Used by the test pyramid (solver-level synthetic BA problems with known
+optima — SURVEY.md §4) and by `bench.py` as a dataset-independent load
+generator. No reference counterpart (the reference validates manually
+against EuRoC with evo — docs/en/tutorials/euroc_evaluation.md).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from ..imu.preintegration import GRAVITY_NOMINAL
+
+
+class Scene(NamedTuple):
+    """Ground-truth scene sampled at camera rate."""
+
+    t: jnp.ndarray          # (F,) frame timestamps
+    q: jnp.ndarray          # (F,4) body-to-world
+    p: jnp.ndarray          # (F,3)
+    v: jnp.ndarray          # (F,3)
+    landmarks: jnp.ndarray  # (L,3) world points
+    imu_t: jnp.ndarray      # (F, S) per-frame-interval IMU stamps
+    imu_w: jnp.ndarray      # (F, S, 3) gyro (body)
+    imu_a: jnp.ndarray      # (F, S, 3) accel (body, includes -gravity)
+
+
+def circle_scene(
+    n_frames: int = 32,
+    n_landmarks: int = 64,
+    cam_hz: float = 20.0,
+    imu_hz: float = 200.0,
+    radius: float = 3.0,
+    omega: float = 0.6,
+    height: float = 1.5,
+    seed: int = 0,
+    dtype=jnp.float64,
+) -> Scene:
+    """Body flies a circle at constant angular rate, x-axis tangent,
+    z-axis up; landmarks scattered in a shell around the circle."""
+    g = jnp.array([0.0, 0.0, -GRAVITY_NOMINAL], dtype=dtype)
+
+    def pose(t):
+        th = omega * t
+        p = jnp.array([radius * jnp.cos(th), radius * jnp.sin(th), height], dtype=dtype)
+        q = lie.expmap(jnp.array([0.0, 0.0, 1.0], dtype=dtype) * (th + jnp.pi / 2))
+        v = jnp.array([-radius * omega * jnp.sin(th), radius * omega * jnp.cos(th), 0.0], dtype=dtype)
+        return q, p, v
+
+    def imu(t):
+        th = omega * t
+        a_w = jnp.array(
+            [-radius * omega**2 * jnp.cos(th), -radius * omega**2 * jnp.sin(th), 0.0], dtype=dtype
+        )
+        q, _, _ = pose(t)
+        a_b = lie.quat_rotate_inv(q, a_w - g)
+        w_b = jnp.array([0.0, 0.0, omega], dtype=dtype)
+        return w_b, a_b
+
+    ts = jnp.arange(n_frames, dtype=dtype) / cam_hz
+    qs, ps, vs = jax.vmap(pose)(ts)
+
+    spf = int(imu_hz / cam_hz)
+    imu_t = ts[:, None] + jnp.arange(spf, dtype=dtype)[None, :] / imu_hz
+    imu_w, imu_a = jax.vmap(jax.vmap(imu))(imu_t)
+
+    key = jax.random.PRNGKey(seed)
+    kr, kz, kth = jax.random.split(key, 3)
+    r_lm = jax.random.uniform(kr, (n_landmarks,), minval=0.3 * radius, maxval=0.8 * radius, dtype=dtype)
+    th_lm = jax.random.uniform(kth, (n_landmarks,), minval=0.0, maxval=2 * jnp.pi, dtype=dtype)
+    z_lm = jax.random.uniform(kz, (n_landmarks,), minval=0.0, maxval=2.5, dtype=dtype)
+    landmarks = jnp.stack([r_lm * jnp.cos(th_lm), r_lm * jnp.sin(th_lm), z_lm], axis=-1)
+
+    return Scene(t=ts, q=qs, p=ps, v=vs, landmarks=landmarks, imu_t=imu_t, imu_w=imu_w, imu_a=imu_a)
+
+
+DEFAULT_IMU_NOISE = None  # set below once ImuNoise is importable
+
+
+def euler_consistent(scene: Scene, noise=None) -> Scene:
+    """Replace the scene's analytic frame states by dead-reckoned ones
+    (same Euler scheme as the preintegrator), so that preintegration
+    residuals are *exactly* zero at the returned states — giving solver
+    tests/benches a known exact optimum."""
+    from ..imu import preintegration as pre
+
+    noise = noise or DEFAULT_IMU_NOISE
+    zero = jnp.zeros(3, dtype=scene.p.dtype)
+    F = scene.t.shape[0]
+    q, p, v = scene.q[0], scene.p[0], scene.v[0]
+    qs, ps, vs = [q], [p], [v]
+    for k in range(F - 1):
+        d = pre.integrate(
+            scene.imu_t[k], scene.imu_w[k], scene.imu_a[k], scene.t[k + 1],
+            zero, zero, noise, compute_sqrt_inv=False,
+        )
+        q, p, v, _, _ = pre.predict(q, p, v, zero, zero, d)
+        qs.append(q), ps.append(p), vs.append(v)
+    return scene._replace(q=jnp.stack(qs), p=jnp.stack(ps), v=jnp.stack(vs))
+
+
+def window_problem(
+    scene: Scene,
+    frame_idx,
+    L: int = 64,
+    q_bc=None,
+    p_bc=None,
+    reproj_weight: float = 400.0,
+    noise=None,
+    dtype=jnp.float64,
+):
+    """Ground-truth (WindowState, WindowData) for the given scene frames
+    — the solver-level fixture used by tests, bench.py, and the graft
+    entry (dtype=float32 for the TPU compute path)."""
+    import numpy as np
+
+    from ..estimation.window import MargPrior, WindowData, WindowState
+    from ..imu import preintegration as pre
+
+    noise = noise or DEFAULT_IMU_NOISE
+    K = len(frame_idx)
+    frame_idx = jnp.asarray(frame_idx)
+    q_bc = lie.quat_identity(dtype=dtype) if q_bc is None else q_bc.astype(dtype)
+    p_bc = jnp.zeros(3, dtype=dtype) if p_bc is None else p_bc.astype(dtype)
+
+    bearings, mask = bearings_of(scene, q_bc, p_bc, frame_idx)
+    n_lm = scene.landmarks.shape[0]
+    assert n_lm <= L
+
+    # anchor = first observing frame; valid landmarks seen in >= 2 frames
+    seen = np.asarray(mask)
+    ref_idx = np.zeros(L, dtype=np.int32)
+    lm_mask = np.zeros(L, dtype=bool)
+    for l in range(n_lm):
+        obs = np.nonzero(seen[:, l])[0]
+        if len(obs) >= 2:
+            ref_idx[l] = obs[0]
+            lm_mask[l] = True
+
+    # inverse depth along the anchor's unit bearing = 1 / range
+    q_w = scene.q[frame_idx]
+    p_w = scene.p[frame_idx]
+    x_b = jax.vmap(lambda qk, pk: lie.quat_rotate_inv(qk, scene.landmarks - pk))(q_w, p_w)
+    x_c = jax.vmap(lambda xb: lie.quat_rotate_inv(q_bc, xb - p_bc))(x_b)
+    rng = jnp.linalg.norm(x_c, axis=-1)  # (K, n_lm)
+    invd = np.zeros(L)
+    for l in range(n_lm):
+        if lm_mask[l]:
+            invd[l] = 1.0 / float(rng[ref_idx[l], l])
+
+    bearings_p = jnp.zeros((K, L, 3), dtype=dtype).at[:, :n_lm].set(bearings.astype(dtype))
+    mask_p = jnp.zeros((K, L), dtype=bool).at[:, :n_lm].set(mask)
+
+    # preintegration between consecutive window frames
+    zero = jnp.zeros(3, dtype=dtype)
+    deltas = []
+    for j in range(K):
+        if j == 0:
+            deltas.append(pre.PreintDelta.identity(dtype=dtype))
+            continue
+        i0, i1 = int(frame_idx[j - 1]), int(frame_idx[j])
+        ts = scene.imu_t[i0:i1].reshape(-1).astype(dtype)
+        ws = scene.imu_w[i0:i1].reshape(-1, 3).astype(dtype)
+        accs = scene.imu_a[i0:i1].reshape(-1, 3).astype(dtype)
+        deltas.append(pre.integrate(ts, ws, accs, scene.t[i1].astype(dtype), zero, zero, noise))
+    preint = jax.tree.map(lambda *xs: jnp.stack(xs), *deltas)
+
+    state = WindowState(
+        q=scene.q[frame_idx].astype(dtype),
+        p=scene.p[frame_idx].astype(dtype),
+        v=scene.v[frame_idx].astype(dtype),
+        bg=jnp.zeros((K, 3), dtype=dtype),
+        ba=jnp.zeros((K, 3), dtype=dtype),
+        inv_depth=jnp.asarray(invd, dtype=dtype),
+    )
+    qbcK = jnp.broadcast_to(q_bc, (K, 4))
+    pbcK = jnp.broadcast_to(p_bc, (K, 3))
+    data = WindowData(
+        q_bc=qbcK, p_bc=pbcK,
+        q_bi=jnp.broadcast_to(lie.quat_identity(dtype=dtype), (K, 4)),
+        p_bi=jnp.zeros((K, 3), dtype=dtype),
+        bearings=bearings_p,
+        obs_mask=mask_p,
+        ref_idx=jnp.asarray(ref_idx),
+        sqrt_inv_cov2=jnp.broadcast_to(reproj_weight * jnp.eye(2, dtype=dtype), (K, 2, 2)),
+        preint=preint,
+        preint_mask=jnp.ones((K,), dtype=bool).at[0].set(False),
+        bg_lin=jnp.zeros((K, 3), dtype=dtype),
+        ba_lin=jnp.zeros((K, 3), dtype=dtype),
+        frame_mask=jnp.ones((K,), dtype=bool),
+        fix_pose=jnp.zeros((K,), dtype=bool),
+        fix_motion=jnp.zeros((K,), dtype=bool),
+        landmark_mask=jnp.asarray(lm_mask),
+        fix_landmark=jnp.zeros((L,), dtype=bool),
+        marg=MargPrior.zeros(K, L, dtype=dtype),
+        use_marg=jnp.asarray(False),
+    )
+    return state, data
+
+
+def _init_default_noise():
+    global DEFAULT_IMU_NOISE
+    from ..imu.preintegration import ImuNoise
+
+    DEFAULT_IMU_NOISE = ImuNoise.isotropic(1e-4, 1e-2, 1e-8, 1e-6)
+
+
+_init_default_noise()
+
+
+def bearings_of(scene: Scene, q_bc, p_bc, frame_idx=None, fov_cos: float = 0.2):
+    """Project landmarks into every (selected) frame's camera.
+
+    Returns (bearings (F,L,3) unit camera-frame vectors, mask (F,L) —
+    in-front-of-camera with viewing angle inside the FOV cone).
+    """
+    q = scene.q if frame_idx is None else scene.q[frame_idx]
+    p = scene.p if frame_idx is None else scene.p[frame_idx]
+    # world → body → camera
+    x_b = jax.vmap(lambda qk, pk: lie.quat_rotate_inv(qk, scene.landmarks - pk))(q, p)
+    x_c = jax.vmap(lambda xb: lie.quat_rotate_inv(q_bc, xb - p_bc))(x_b)
+    depth = x_c[..., 2]
+    norm = jnp.linalg.norm(x_c, axis=-1)
+    bearings = x_c / jnp.maximum(norm, 1e-12)[..., None]
+    mask = (depth > 0.2) & (bearings[..., 2] > fov_cos)
+    return bearings, mask

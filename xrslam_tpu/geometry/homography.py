@@ -40,7 +40,10 @@ def solve_homography_4pt(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     ata = jnp.einsum("...ij,...ik->...jk", A, A)
     _, v = jnp.linalg.eigh(ata)
     h = v[..., :, 0]
-    NH = h.reshape(h.shape[:-1] + (3, 3))
+    # the DLT rows index h in column-major (Eigen) layout — reference
+    # homography.cpp to_matrix fills columns — so transpose after the
+    # row-major reshape
+    NH = jnp.swapaxes(h.reshape(h.shape[:-1] + (3, 3)), -1, -2)
 
     sa_ = sa[..., 0, 0]
     sb_ = sb[..., 0, 0]

@@ -128,22 +128,65 @@ def test_solver_jit_compiles():
 
 
 def test_rotation_only_mode():
-    """Rotation-prior-only solve recovers a small rotation offset
-    (refine_subwindow pure-rotation mode, reference
-    sliding_window_tracker.cpp:370-429)."""
-    state_gt, data = _problem(K=3, L=48, stride=2)
-    # perturb only last frame's rotation; fix everything else
-    dq = jnp.zeros((3, 3), dtype=jnp.float64).at[2].set(jnp.array([0.004, -0.003, 0.005]))
+    """Rotation-prior-only solve recovers a small rotation offset on a
+    PURE-ROTATION window — the only regime the reference uses this
+    factor in (refine_subwindow FT_NO_TRANSLATION mode,
+    sliding_window_tracker.cpp:370-429; with parallax the rotation
+    factor's optimum is legitimately displaced from GT)."""
     from xrslam_tpu.geometry import lie
-    st0 = state_gt._replace(q=lie.quat_normalize(lie.quat_mul(state_gt.q, lie.expmap(dq))))
-    data = data._replace(
-        fix_pose=jnp.array([True, True, False]),
-        fix_motion=jnp.ones(3, dtype=bool),
-        fix_landmark=jnp.ones_like(data.fix_landmark),
+    from xrslam_tpu.estimation.window import WindowData, WindowState, MargPrior
+    from xrslam_tpu.imu.preintegration import PreintDelta
+
+    K, L = 3, 48
+    key = jax.random.PRNGKey(0)
+    # frames share one position, differ only in yaw/pitch
+    p0 = jnp.array([0.0, 0.0, 1.5], dtype=jnp.float64)
+    angles = jnp.array([[0.0, 0.0, 0.0], [0.0, 0.02, 0.1], [0.01, -0.02, 0.2]],
+                       dtype=jnp.float64)
+    q = jax.vmap(lie.expmap)(angles)
+    lms = jax.random.uniform(key, (L, 3), minval=-2.0, maxval=2.0,
+                             dtype=jnp.float64) + jnp.array([0.0, 4.0, 1.5])
+    # camera = body (identity extrinsics), optical axis +y via q_bc
+    q_bc = lie.expmap(jnp.array([-jnp.pi / 2, 0.0, 0.0], dtype=jnp.float64))
+    p_bc = jnp.zeros(3, dtype=jnp.float64)
+
+    def bearings_of_frame(qk):
+        q_wc = lie.quat_mul(qk, q_bc)
+        x_c = jax.vmap(lambda x: lie.quat_rotate_inv(q_wc, x - p0))(lms)
+        return x_c / jnp.linalg.norm(x_c, axis=-1, keepdims=True)
+
+    bearings = jax.vmap(bearings_of_frame)(q)  # (K,L,3)
+
+    state_gt = WindowState(
+        q=q, p=jnp.broadcast_to(p0, (K, 3)), v=jnp.zeros((K, 3), dtype=jnp.float64),
+        bg=jnp.zeros((K, 3), dtype=jnp.float64), ba=jnp.zeros((K, 3), dtype=jnp.float64),
+        inv_depth=jnp.ones((L,), dtype=jnp.float64),
     )
+    preint0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), PreintDelta.identity()
+    )
+    data = WindowData(
+        q_bc=jnp.broadcast_to(q_bc, (K, 4)), p_bc=jnp.broadcast_to(p_bc, (K, 3)),
+        q_bi=jnp.broadcast_to(lie.quat_identity(), (K, 4)),
+        p_bi=jnp.zeros((K, 3), dtype=jnp.float64),
+        bearings=bearings, obs_mask=jnp.ones((K, L), dtype=bool),
+        ref_idx=jnp.zeros((L,), dtype=jnp.int32),
+        sqrt_inv_cov2=jnp.broadcast_to(400.0 * jnp.eye(2, dtype=jnp.float64), (K, 2, 2)),
+        preint=preint0, preint_mask=jnp.zeros((K,), dtype=bool),
+        bg_lin=jnp.zeros((K, 3), dtype=jnp.float64),
+        ba_lin=jnp.zeros((K, 3), dtype=jnp.float64),
+        frame_mask=jnp.ones((K,), dtype=bool),
+        fix_pose=jnp.array([True, True, False]),
+        fix_motion=jnp.ones(K, dtype=bool),
+        landmark_mask=jnp.ones((L,), dtype=bool),
+        fix_landmark=jnp.ones((L,), dtype=bool),
+        marg=MargPrior.zeros(K, 0), use_marg=jnp.asarray(False),
+    )
+    dq = jnp.zeros((K, 3), dtype=jnp.float64).at[2].set(jnp.array([0.004, -0.003, 0.005]))
+    st0 = state_gt._replace(q=lie.quat_normalize(lie.quat_mul(state_gt.q, lie.expmap(dq))))
     opts = SolveOptions(iterations=10, use_reproj=False, use_preint=False, use_rotation=True)
     st, info = solve_window(st0, data, opts)
     assert float(info["cost"]) < float(info["cost0"]), info
     rot0, _, _ = state_errors(st0, state_gt)
     rot1, _, _ = state_errors(st, state_gt)
-    assert rot1 < rot0 * 0.2, (rot0, rot1)
+    assert rot1 < rot0 * 1e-3, (rot0, rot1)

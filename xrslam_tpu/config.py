@@ -93,6 +93,11 @@ class Config:
 
     # --- solver (config.cpp:60-62) ---
     solver_iteration_limit: int = 10
+    # fixed landmark-slot capacities of the jitted window solves (no
+    # reference counterpart — the reference builds dynamic Ceres
+    # problems; we compile one executable per static shape)
+    window_landmark_slots: int = 384
+    init_landmark_slots: int = 256
     solver_time_limit: float = 1.0e6
 
     # --- rotation / pure-rotation detection (config.cpp:64-66) ---

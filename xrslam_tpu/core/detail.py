@@ -1,0 +1,247 @@
+"""Sample synchronization + pipeline driver.
+
+Mirrors XRSLAM::Detail and FrontendWorker (reference:
+xrslam/src/xrslam/core/detail.cpp, frontend_worker.cpp):
+
+  - gyroscope and accelerometer streams are paired by linear
+    interpolation of the gyro to accel timestamps (detail.cpp:46-101),
+  - camera frames buffer until the IMU stream catches up
+    (detail.cpp:130-142),
+  - every IMU sample yields a low-latency output pose by forward
+    propagation from the last optimized state (detail.cpp:144-177,
+    propagate_state :15-28),
+  - frames are handed to the feature tracker, then issued to the
+    frontend: Initializer until success, then SlidingWindowTracker;
+    tracking failure resets to initialization (frontend_worker.cpp:28-86).
+
+The threading of the reference (two Worker job loops) collapses to the
+synchronous call chain — the semantics the reference itself has with
+XRSLAM_ENABLE_THREADING=OFF (its PC default, SURVEY.md §1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import Config
+from . import nputil
+from .initializer import Initializer
+from .map import FrameRec, PipelineMap, new_frame_id
+from .sliding_window import SlidingWindowTracker
+
+GRAVITY = np.array([0.0, 0.0, -9.80665])
+
+
+@dataclass
+class OutputPose:
+    t: float
+    q: np.ndarray  # body-to-world [w,x,y,z]
+    p: np.ndarray
+
+
+class FeatureTrackerBase:
+    """Produces per-frame keypoint bearings + track ids into the
+    tracker map. The real KLT tracker and the synthetic stub share this
+    interface."""
+
+    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
+        raise NotImplementedError
+
+
+class VIOPipeline:
+    """The XRSLAM public-API engine: push IMU + camera samples, get
+    poses (reference include/xrslam/xrslam.h:166-190)."""
+
+    def __init__(self, config: Config, tracker: FeatureTrackerBase):
+        self.config = config
+        self.tracker = tracker
+        self.tracker_map = PipelineMap()
+        self.initializer: Optional[Initializer] = Initializer(config)
+        self.swt: Optional[SlidingWindowTracker] = None
+
+        self.gyro_buf: List[tuple] = []   # (t, w)
+        self.accel_buf: List[tuple] = []  # (t, a)
+        self.imu_pending: List[tuple] = []  # fused (t, w, a)
+        self.frame_pending: List[FrameRec] = []
+        self.last_imu_t = -np.inf
+
+        # forward-propagation state (detail.cpp propagate_state)
+        self._prop: Optional[dict] = None
+        self._imu_since_opt: List[tuple] = []
+
+    # ------------------------------------------------------------------
+    # IMU ingestion (reference detail.cpp:46-101)
+    # ------------------------------------------------------------------
+    def track_gyroscope(self, t: float, w) -> Optional[OutputPose]:
+        self.gyro_buf.append((t, np.asarray(w, dtype=float)))
+        self._fuse()
+        return self.predict_pose(t)
+
+    def track_accelerometer(self, t: float, a) -> Optional[OutputPose]:
+        self.accel_buf.append((t, np.asarray(a, dtype=float)))
+        self._fuse()
+        return self.predict_pose(t)
+
+    def _fuse(self):
+        """Interpolate gyro to each accel timestamp once both sides
+        bracket it (reference interleaving of track_{gyroscope,
+        accelerometer})."""
+        while self.accel_buf and len(self.gyro_buf) >= 2:
+            ta, a = self.accel_buf[0]
+            # drop gyros older than needed
+            while len(self.gyro_buf) > 2 and self.gyro_buf[1][0] <= ta:
+                self.gyro_buf.pop(0)
+            if len(self.gyro_buf) < 2:
+                break
+            t0, w0 = self.gyro_buf[0]
+            t1, w1 = self.gyro_buf[1]
+            if ta < t0:
+                self.accel_buf.pop(0)  # accel predates gyro stream
+                continue
+            if ta > t1:
+                break  # need more gyro
+            lam = 0.0 if t1 == t0 else (ta - t0) / (t1 - t0)
+            w = (1 - lam) * w0 + lam * w1
+            self.accel_buf.pop(0)
+            self._track_imu(ta, w, a)
+
+    def _track_imu(self, t, w, a):
+        if t <= self.last_imu_t:
+            return
+        self.last_imu_t = t
+        self.imu_pending.append((t, w, a))
+        self._imu_since_opt.append((t, w, a))
+        self._flush_frames()
+
+    # ------------------------------------------------------------------
+    # camera ingestion
+    # ------------------------------------------------------------------
+    def track_camera(self, t: float, bearings: np.ndarray,
+                     track_hint: Optional[np.ndarray] = None) -> None:
+        """Push a camera frame. `bearings` is the fixed-capacity (C,3)
+        unit-bearing array; `track_hint` optionally carries the stub
+        tracker's correspondence ids (C,), -1 = empty."""
+        cfg = self.config
+        f = FrameRec(
+            id=new_frame_id(), t=t,
+            q=np.array([1.0, 0, 0, 0]), p=np.zeros(3), v=np.zeros(3),
+            bg=cfg.gyroscope_bias.copy(), ba=cfg.accelerometer_bias.copy(),
+            q_bc=np.asarray(cfg.camera_to_body_rotation, dtype=float),
+            p_bc=np.asarray(cfg.camera_to_body_translation, dtype=float),
+            q_bi=np.asarray(cfg.imu_to_body_rotation, dtype=float),
+            p_bi=np.asarray(cfg.imu_to_body_translation, dtype=float),
+            K=np.asarray(cfg.camera_intrinsic, dtype=float),
+            # K-scaled pixel-noise whitening (reference detail.cpp:107-109)
+            sqrt_inv_cov2=np.diag([
+                cfg.camera_intrinsic[0, 0] / np.sqrt(cfg.keypoint_noise_cov[0, 0]),
+                cfg.camera_intrinsic[1, 1] / np.sqrt(cfg.keypoint_noise_cov[1, 1]),
+            ]),
+            bearings=bearings.astype(float),
+            track_ids=np.full((bearings.shape[0],), -1, dtype=np.int64),
+        )
+        f._hint = track_hint
+        self.frame_pending.append(f)
+        self._flush_frames()
+
+    def _flush_frames(self):
+        while self.frame_pending and self.last_imu_t >= self.frame_pending[0].t:
+            f = self.frame_pending.pop(0)
+            take = [s for s in self.imu_pending if s[0] <= f.t]
+            self.imu_pending = [s for s in self.imu_pending if s[0] > f.t]
+            if take:
+                f.imu_t = np.array([s[0] for s in take])
+                f.imu_w = np.stack([s[1] for s in take])
+                f.imu_a = np.stack([s[2] for s in take])
+            self._process_frame(f)
+
+    # ------------------------------------------------------------------
+    def _process_frame(self, frame: FrameRec):
+        self.tracker_map.attach_frame(frame)
+        self.tracker.track_frame(self.tracker_map, frame)
+
+        # trim tracker map (reference feature_tracker.cpp map upkeep)
+        cap = (self.config.feature_tracker_max_frames if self.swt
+               else self.config.feature_tracker_max_init_frames)
+        while len(self.tracker_map.frames) > cap:
+            self.tracker_map.detach_frame(0)
+
+        self._issue_frame(frame)
+
+    def _issue_frame(self, frame: FrameRec):
+        """reference frontend_worker.cpp:28-86."""
+        if self.swt is None:
+            self.initializer.mirror_keyframe_map(self.tracker_map, frame.id)
+            if self.initializer.map is not None:
+                swt = self.initializer.initialize()
+                if swt is not None:
+                    self.swt = swt
+                    self._refresh_prop_state()
+        else:
+            if self.swt.mirror_frame(self.tracker_map, frame.id):
+                ok = self.swt.track()
+                if ok:
+                    self._refresh_prop_state()
+                else:
+                    self.swt = None
+                    self.initializer = Initializer(self.config)
+
+    def _refresh_prop_state(self):
+        t, q, p, v, bg, ba = self.swt.get_latest_state()
+        self._prop = dict(t=t, q=q.copy(), p=p.copy(), v=v.copy(),
+                          bg=bg.copy(), ba=ba.copy())
+        self._imu_since_opt = [s for s in self._imu_since_opt if s[0] > t]
+
+    # ------------------------------------------------------------------
+    def predict_pose(self, t: float) -> Optional[OutputPose]:
+        """IMU-forward pose at time t from the last optimized state
+        (reference detail.cpp:144-177) — the low-latency output path."""
+        if self._prop is None:
+            return None
+        s = self._prop
+        q, p, v = s["q"].copy(), s["p"].copy(), s["v"].copy()
+        bg, ba = s["bg"], s["ba"]
+        t_cur = s["t"]
+        for (ti, w, a) in self._imu_since_opt:
+            if ti <= t_cur or ti > t:
+                continue
+            dt = ti - t_cur
+            # body-frame Euler step (reference propagate_state :15-28)
+            v = v + dt * (nputil.quat_rotate(q, a - ba) + GRAVITY)
+            p = p + dt * v
+            q = nputil.quat_normalize(
+                nputil.quat_mul(q, nputil.expmap((w - bg) * dt)))
+            t_cur = ti
+        return OutputPose(t=t_cur, q=q, p=p)
+
+    # ------------------------------------------------------------------
+    @property
+    def state(self) -> str:
+        return "tracking" if self.swt is not None else "initializing"
+
+
+class SyntheticTracker(FeatureTrackerBase):
+    """Stub feature tracker fed by ground-truth correspondences
+    (SURVEY.md §7 minimum end-to-end slice): the frame's `_hint` array
+    holds a persistent synthetic track id per keypoint slot; keypoints
+    sharing an id across frames join the same map track."""
+
+    def __init__(self):
+        self._id_map = {}
+
+    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
+        hint = getattr(frame, "_hint", None)
+        if hint is None:
+            return
+        for k in np.nonzero(hint >= 0)[0]:
+            h = int(hint[k])
+            tid = self._id_map.get(h)
+            tr = tracker_map.tracks.get(tid) if tid is not None else None
+            if tr is None:
+                tr = tracker_map.get_track(frame, int(k), create=True)
+                self._id_map[h] = tr.id
+            else:
+                tracker_map.add_observation(tr, frame, int(k))
+            tr.life += 1

@@ -1,0 +1,596 @@
+"""Sliding-window VIO backend.
+
+Host orchestration of the jitted window solves, mirroring the
+reference's SlidingWindowTracker (reference:
+xrslam/src/xrslam/core/sliding_window_tracker.cpp):
+
+  track():
+    [parsac] judge_track_status / update_track_status  (:578-790)
+    localize_newframe                                   (:119-143)
+    manage_keyframe                                     (:145-223)
+    keyframe:  track_landmark, refine_window, slide_window (:225-368)
+    subframe:  refine_subwindow                         (:370-465)
+
+All solves run on fixed (K_slots, L_slots) arrays so each of the three
+solve variants (localize / refine_window / refine_subwindow) compiles
+exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..estimation.marginalization import marginalize_frame as marginalize_window_frame
+from ..estimation.solver import SolveOptions, solve_window
+from ..estimation.window import ES_SIZE, MargPrior
+from ..imu import preintegration as pre
+from ..ransac import parsac as parsac_mod
+from ..ransac import pnp as pnp_mod
+from ..ransac import stereo as stereo_mod
+from . import nputil
+from .map import FrameRec, PipelineMap
+from .window_builder import (
+    extract_window, interval_samples, triangulate_track, write_back,
+)
+
+
+class SlidingWindowTracker:
+    def __init__(self, pmap: PipelineMap, config: Config):
+        self.map = pmap
+        self.config = config
+        self.noise = pre.ImuNoise(
+            cov_w=jnp.asarray(config.gyroscope_noise_cov),
+            cov_a=jnp.asarray(config.accelerometer_noise_cov),
+            cov_bg=jnp.asarray(config.gyroscope_bias_noise_cov),
+            cov_ba=jnp.asarray(config.accelerometer_bias_noise_cov),
+        )
+        self.K_slots = config.sliding_window_size + 1
+        self.L_slots = config.window_landmark_slots
+        self.K_sub = 11  # keyframe + up to 10 subframes (rotation case)
+        self.marg: Optional[MargPrior] = None
+        self.bin_conf = parsac_mod.initial_bin_confidences(jnp.float64)
+        self._rng = np.random.default_rng(config.random)
+        self._key = jax.random.PRNGKey(config.random)
+        self.m_th: float = 0.0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def keyframes(self) -> List[FrameRec]:
+        return self.map.frames
+
+    def last_frame_chain(self) -> FrameRec:
+        """Last keyframe or its last subframe (the temporal latest)."""
+        kf = self.map.frames[-1]
+        return kf.subframes[-1] if kf.subframes else kf
+
+    def get_latest_state(self):
+        f = self.last_frame_chain()
+        return f.t, f.q, f.p, f.v, f.bg, f.ba
+
+    # ------------------------------------------------------------------
+    def mirror_frame(self, tracker_map: PipelineMap, frame_id: int) -> bool:
+        """Pull the new frame from the tracker map: clone it, splice the
+        IMU samples of skipped frames, extend tracks that continue from
+        the window's latest frame, integrate + predict
+        (reference :31-80)."""
+        frame_i = self.last_frame_chain()
+        idx_i = tracker_map.frame_index_by_id(frame_i.id)
+        idx_j = tracker_map.frame_index_by_id(frame_id)
+        if idx_i is None or idx_j is None:
+            return False
+        old_i = tracker_map.frames[idx_i]
+        old_j = tracker_map.frames[idx_j]
+
+        new_j = old_j.clone_shallow()
+        # accumulate IMU of skipped frames (idx_i, idx_j)
+        between = tracker_map.frames[idx_i + 1: idx_j + 1]
+        new_j.imu_t = np.concatenate([f.imu_t for f in between])
+        new_j.imu_w = np.concatenate([f.imu_w for f in between])
+        new_j.imu_a = np.concatenate([f.imu_a for f in between])
+
+        # extend tracks: keypoints of frame_i that continue into frame_j
+        new_track_ids = np.full_like(new_j.track_ids, -1)
+        for ki in np.nonzero(old_i.track_ids >= 0)[0]:
+            tr_old = tracker_map.tracks.get(int(old_i.track_ids[ki]))
+            if tr_old is None:
+                continue
+            kj = tr_old.obs.get(old_j.id)
+            if kj is None:
+                continue
+            # the window-side track continuing frame_i's keypoint ki
+            tr_new = self.map.get_track(frame_i, int(ki), create=True)
+            new_track_ids[kj] = tr_new.id
+            if tr_old.static is False:
+                tr_new.static = False
+        new_j.track_ids = new_track_ids
+        self.map.attach_frame(new_j)
+        # map.attach indexes observations into window tracks
+        for k in np.nonzero(new_j.track_ids >= 0)[0]:
+            tid = int(new_j.track_ids[k])
+            if tid in self.map.tracks:
+                self.map.tracks[tid].obs[new_j.id] = int(k)
+
+        # predict pose from preintegration
+        self._predict_frame(frame_i, new_j)
+        return True
+
+    def _predict_frame(self, frame_i: FrameRec, frame_j: FrameRec):
+        cap = 256  # fixed shape: one compile of the predict path
+        t_buf, w_buf, a_buf, n = interval_samples([frame_j], cap)
+        if n == 0:
+            frame_j.q, frame_j.p, frame_j.v = frame_i.q.copy(), frame_i.p.copy(), frame_i.v.copy()
+            frame_j.bg, frame_j.ba = frame_i.bg.copy(), frame_i.ba.copy()
+            return
+        d = pre.integrate(jnp.asarray(t_buf), jnp.asarray(w_buf), jnp.asarray(a_buf),
+                          jnp.asarray(frame_j.t), jnp.asarray(frame_i.bg),
+                          jnp.asarray(frame_i.ba), self.noise, count=n,
+                          compute_sqrt_inv=False)
+        # compose at the IMU, then back to body (reference
+        # preintegrator.cpp:102-112 predict on imu poses)
+        q_i = nputil.quat_mul(frame_i.q, frame_i.q_bi)
+        p_i = frame_i.p + nputil.quat_rotate(frame_i.q, frame_i.p_bi)
+        qj, pj, vj, _, _ = pre.predict(jnp.asarray(q_i), jnp.asarray(p_i),
+                                       jnp.asarray(frame_i.v),
+                                       jnp.asarray(frame_i.bg), jnp.asarray(frame_i.ba), d)
+        qj = np.asarray(qj)
+        pj = np.asarray(pj)
+        q_b = nputil.quat_normalize(nputil.quat_mul(qj, nputil.quat_conj(frame_j.q_bi)))
+        frame_j.q = q_b
+        frame_j.p = pj - nputil.quat_rotate(q_b, frame_j.p_bi)
+        frame_j.v = np.asarray(vj)
+        frame_j.bg = frame_i.bg.copy()
+        frame_j.ba = frame_i.ba.copy()
+
+    # ------------------------------------------------------------------
+    def track(self) -> bool:
+        if self.config.parsac_flag:
+            if self.judge_track_status():
+                self.update_track_status()
+        self.localize_newframe()
+        if self.manage_keyframe():
+            self.track_landmark()
+            self.refine_window()
+            self.slide_window()
+        else:
+            self.refine_subwindow()
+        return True
+
+    # ------------------------------------------------------------------
+    def localize_newframe(self):
+        """Solve only the new frame against preintegration from the
+        previous frame + reprojection priors of its triangulated static
+        tracks (reference :119-143)."""
+        frames = list(self.map.frames)
+        kf = frames[-2] if len(frames) >= 2 else frames[0]
+        prev = kf.subframes[-1] if kf.subframes else kf
+        target = frames[-1]
+        # window: keyframes (minus last two) + prev + target, all fixed
+        # except target; preint chain only prev->target
+        wframes = [f for f in frames[:-1]] + ([prev] if prev is not kf else []) + [target]
+        # ensure prev is second-to-last (preint entry for target)
+        if prev is not kf:
+            wframes = [f for f in frames[:-1]] + [prev, target]
+        saved = [(f.fix_pose, f.fix_motion) for f in wframes]
+        for f in wframes[:-1]:
+            f.fix_pose = True
+            f.fix_motion = True
+        state, data, meta = extract_window(
+            self.map, wframes, self.K_slots + 2, self.L_slots, self.noise,
+            track_filter=lambda t: t.all_tagged("valid", "triangulated", "static"),
+            with_preint=True,
+        )
+        # only the last preint entry (prev -> target) is a factor
+        pm = np.zeros((self.K_slots + 2,), dtype=bool)
+        pm[len(wframes) - 1] = bool(np.asarray(data.preint_mask)[len(wframes) - 1])
+        data = data._replace(
+            preint_mask=jnp.asarray(pm),
+            fix_landmark=jnp.ones_like(data.fix_landmark),
+        )
+        st, _ = solve_window(state, data, SolveOptions(
+            iterations=self.config.solver_iteration_limit))
+        for f, (fp, fm) in zip(wframes, saved):
+            f.fix_pose, f.fix_motion = fp, fm
+        write_back(self.map, st, data, meta, write_landmarks=False,
+                   frame_subset={target.id})
+
+    # ------------------------------------------------------------------
+    def manage_keyframe(self) -> bool:
+        """Subframe/keyframe state machine incl. pure-rotation handling
+        (reference :145-223). Returns True if the new frame (or a lifted
+        subframe) became a keyframe."""
+        kf_i = self.map.frames[-2]
+        new_j = self.map.frames[-1]
+        cfg = self.config
+
+        if kf_i.subframes:
+            if kf_i.subframes[-1].no_translation:
+                if new_j.no_translation:
+                    pass  # keep accumulating rotation subframes
+                else:
+                    # last rotation subframe becomes a keyframe before new_j
+                    lifted = kf_i.subframes.pop()
+                    lifted.keyframe = True
+                    self.map.attach_frame(lifted, len(self.map.frames) - 1)
+                    new_j.keyframe = True
+                    return True
+            else:
+                if new_j.no_translation:
+                    # lift last translational subframe to keyframe; new_j
+                    # becomes its rotation subframe
+                    lifted = kf_i.subframes.pop()
+                    lifted.keyframe = True
+                    nj = self.map.detach_frame(len(self.map.frames) - 1)
+                    lifted.subframes.append(nj)
+                    self.map.attach_frame(lifted)
+                    return True
+                else:
+                    if len(kf_i.subframes) >= cfg.sliding_window_subframe_size:
+                        new_j.keyframe = True
+                        return True
+
+        mapped = 0
+        for k in np.nonzero(new_j.track_ids >= 0)[0]:
+            tr = self.map.tracks.get(int(new_j.track_ids[k]))
+            if tr is not None and tr.all_tagged("valid", "triangulated", "static"):
+                mapped += 1
+        if mapped < cfg.sliding_window_force_keyframe_landmarks:
+            new_j.keyframe = True
+            return True
+        sub = self.map.detach_frame(len(self.map.frames) - 1)
+        kf_i.subframes.append(sub)
+        # re-index: detach removed obs; restore them under the subframe
+        for k in np.nonzero(sub.track_ids >= 0)[0]:
+            tid = int(sub.track_ids[k])
+            if tid in self.map.tracks:
+                self.map.tracks[tid].obs[sub.id] = int(k)
+        return False
+
+    # ------------------------------------------------------------------
+    def track_landmark(self):
+        """Triangulate the new keyframe's untriangulated tracks
+        (reference :225-245, map/track.cpp:46-76)."""
+        new_j = self.map.frames[-1]
+        frames_by_id = {f.id: f for f in self.map.all_frames()}
+        for k in np.nonzero(new_j.track_ids >= 0)[0]:
+            tr = self.map.tracks.get(int(new_j.track_ids[k]))
+            if tr is None or tr.triangulated:
+                continue
+            p = triangulate_track(tr, frames_by_id)
+            if p is not None:
+                tr.p_w = p
+                tr.triangulated = True
+                tr.valid = True
+                tr.static = True
+                tr.life = 1
+            else:
+                tr.triangulated = False
+                tr.valid = False
+
+    # ------------------------------------------------------------------
+    def _kf_between(self, frames: List[FrameRec]):
+        """IMU-interval frame lists for a keyframe window: entry j
+        covers subframes of keyframe j-1 plus keyframe j (reference
+        keyframe_preintegration assembly, :300-316)."""
+        out = [[]]
+        for j in range(1, len(frames)):
+            out.append(list(frames[j - 1].subframes) + [frames[j]])
+        return out
+
+    def refine_window(self):
+        """Full sliding-window VI-BA with the marginalization prior
+        (reference :247-358)."""
+        frames = list(self.map.frames)
+        state, data, meta = extract_window(
+            self.map, frames, self.K_slots, self.L_slots, self.noise,
+            track_filter=self._refine_track_filter(frames),
+            all_frames_between=self._kf_between(frames),
+            imu_cap=512,
+        )
+        if self.marg is None:
+            self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
+        data = data._replace(marg=self.marg, use_marg=jnp.asarray(True))
+        st, info = solve_window(state, data, SolveOptions(
+            iterations=self.config.solver_iteration_limit))
+        write_back(self.map, st, data, meta)
+        self._last_window = (st, data, meta)
+        self._revalidate_landmarks(frames)
+
+    def _refine_track_filter(self, frames):
+        kf_ids = {f.id for f in frames}
+
+        def ok(tr):
+            return (tr.valid and tr.static and tr.first_frame_id() in kf_ids)
+        return ok
+
+    def _revalidate_landmarks(self, frames):
+        """Depth and RPE gates after the window solve
+        (reference :325-352)."""
+        kf_by_id = {f.id: f for f in frames}
+        for tr in list(self.map.tracks.values()):
+            if not tr.triangulated or tr.p_w is None:
+                continue
+            ok = True
+            rpe = 0.0
+            cnt = 0.0
+            for fid, k in tr.obs.items():
+                f = kf_by_id.get(fid)
+                if f is None:
+                    continue
+                q_wc, p_wc = f.camera_pose()
+                y = nputil.quat_rotate_inv(q_wc, tr.p_w - p_wc)
+                if y[2] <= 1.0e-3 or y[2] > 50.0:
+                    ok = False
+                    break
+                fu, fv = f.K[0, 0], f.K[1, 1]
+                b = f.bearings[k]
+                du = (y[0] / y[2] - b[0] / b[2]) * fu
+                dv = (y[1] / y[2] - b[1] / b[2]) * fv
+                rpe += float(np.hypot(du, dv))
+                cnt += 1.0
+            ok = ok and (rpe / max(cnt, 1.0) < 3.0)
+            tr.valid = ok
+            if not ok:
+                tr.trash = True
+        self.map.prune_tracks(lambda t: t.trash and not t.static)
+
+    # ------------------------------------------------------------------
+    def slide_window(self):
+        """Marginalize the oldest keyframe(s) (reference :360-368)."""
+        while len(self.map.frames) > self.config.sliding_window_size:
+            frames = list(self.map.frames)
+            state, data, meta = extract_window(
+                self.map, frames, self.K_slots, self.L_slots, self.noise,
+                track_filter=self._refine_track_filter(frames),
+                all_frames_between=self._kf_between(frames),
+                imu_cap=512,
+            )
+            if self.marg is None:
+                self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
+            data = data._replace(marg=self.marg, use_marg=jnp.asarray(True))
+            self.marg = marginalize_window_frame(state, data, victim=0)
+            victim = self.map.frames[0]
+            for sub in victim.subframes:
+                self.map.untrack_frame(sub)
+            victim.subframes.clear()
+            self.map.detach_frame(0)
+            # drop tracks that lost their anchor entirely
+            self.map.prune_tracks(lambda t: len(t.obs) == 0)
+
+    # ------------------------------------------------------------------
+    def refine_subwindow(self):
+        """Subframe-only optimization; rotation-only variant for
+        pure-rotation subframes (reference :370-465)."""
+        kf = self.map.frames[-1]
+        if not kf.subframes:
+            return
+        rotation_mode = kf.subframes[0].no_translation
+
+        if rotation_mode and len(kf.subframes) >= 9:
+            # compress: merge each group of 3 into its last frame
+            groups = len(kf.subframes) // 3
+            merged = []
+            for g in range(groups):
+                grp = kf.subframes[g * 3:(g + 1) * 3]
+                tgt = grp[-1]
+                tgt.imu_t = np.concatenate([f.imu_t for f in grp])
+                tgt.imu_w = np.concatenate([f.imu_w for f in grp])
+                tgt.imu_a = np.concatenate([f.imu_a for f in grp])
+                for src in grp[:-1]:
+                    self.map.untrack_frame(src)
+                merged.append(tgt)
+            merged += kf.subframes[groups * 3:]
+            kf.subframes = merged
+
+        frames = [kf] + list(kf.subframes)
+        saved = (kf.fix_pose, kf.fix_motion)
+        kf.fix_pose = True
+        kf.fix_motion = True
+        last_sub = kf.subframes[-1]
+        kf_anchor_ids = {f.id for f in self.map.frames}
+
+        if rotation_mode:
+            def tf(tr):
+                if last_sub.id not in tr.obs or not tr.valid:
+                    return False
+                return True
+        else:
+            def tf(tr):
+                if not tr.all_tagged("valid", "triangulated", "static"):
+                    return False
+                anchored_kf = tr.first_frame_id() in kf_anchor_ids
+                anchored_in_sub = tr.first_frame_id() in {f.id for f in frames[1:]}
+                return anchored_kf or anchored_in_sub
+
+        state, data, meta = extract_window(
+            self.map, frames, self.K_sub, self.L_slots, self.noise,
+            track_filter=tf, imu_cap=512,
+        )
+        # tracks anchored at the (fixed) keyframe act as priors: depth
+        # fixed (reference create_reprojection_prior_factor)
+        refs = np.asarray(data.ref_idx)
+        fix_lm = refs == 0
+        if rotation_mode:
+            # rotation factors act on untriangulated tracks of the last
+            # subframe; triangulated static ones become reproj priors
+            lm_mask = np.asarray(data.landmark_mask)
+            tri = np.zeros_like(lm_mask)
+            for l, tid in enumerate(meta.track_ids):
+                tr = self.map.tracks.get(tid)
+                tri[l] = bool(tr and tr.triangulated and tr.static)
+            # reproj only for triangulated; rotation factor for the rest
+            data_r = data._replace(
+                landmark_mask=jnp.asarray(lm_mask & tri),
+                fix_landmark=jnp.asarray(fix_lm | tri),
+            )
+            opts = SolveOptions(iterations=self.config.solver_iteration_limit,
+                                use_rotation=True)
+            # rotation factors: only last subframe obs of untriangulated
+            obs = np.asarray(data.obs_mask).copy()
+            keep = np.zeros_like(obs)
+            keep[len(frames) - 1] = obs[len(frames) - 1]
+            keep[refs[None, :] == np.arange(self.K_sub)[:, None]] = True
+            rot_mask = lm_mask & ~tri
+            obs_rot = obs & keep & rot_mask[None, :]
+            obs_rep = obs & keep & tri[None, :]
+            data_r = data_r._replace(obs_mask=jnp.asarray(obs_rep | obs_rot))
+            st, _ = solve_window(state, data_r, opts)
+        else:
+            data_r = data._replace(fix_landmark=jnp.asarray(fix_lm))
+            st, _ = solve_window(state, data_r, SolveOptions(
+                iterations=self.config.solver_iteration_limit))
+        kf.fix_pose, kf.fix_motion = saved
+        write_back(self.map, st, data_r, meta, write_landmarks=False)
+
+    # ------------------------------------------------------------------
+    # PARSAC dynamic-object rejection (reference :578-790)
+    # ------------------------------------------------------------------
+    def judge_track_status(self) -> bool:
+        curr = self.map.frames[-1]
+        kf = self.map.frames[-2]
+        P3D, P2D, lens, kps = [], [], [], []
+        for k in np.nonzero(curr.track_ids >= 0)[0]:
+            tr = self.map.tracks.get(int(curr.track_ids[k]))
+            if tr is None or not (tr.valid and tr.triangulated) or tr.p_w is None:
+                continue
+            b = curr.bearings[k]
+            P2D.append(b[:2] / b[2])
+            P3D.append(tr.p_w)
+            lens.append(max(tr.life, 0))
+            kps.append(int(k))
+        if len(P2D) < 20:
+            return False
+        N_CAP = 256
+        n = min(len(P2D), N_CAP)
+        X = np.zeros((N_CAP, 3))
+        x2 = np.zeros((N_CAP, 2))
+        ln = np.zeros((N_CAP,), dtype=np.int64)
+        X[:n] = np.stack(P3D)[:n]
+        x2[:n] = np.stack(P2D)[:n]
+        ln[:n] = np.asarray(lens)[:n]
+        valid = np.zeros((N_CAP,), dtype=bool)
+        valid[:n] = True
+
+        q_wc, p_wc = curr.camera_pose()
+        Rcw = nputil.quat_to_matrix(q_wc).T
+        tcw = -(Rcw @ p_wc)
+        prior_T = np.eye(4)
+        prior_T[:3, :3] = Rcw
+        prior_T[:3, 3] = tcw
+        fu = curr.K[0, 0]
+        T, mask, overlap, self.bin_conf, ok = pnp_mod.find_pnp_matrix_parsac_imu(
+            self._next_key(), jnp.asarray(X), jnp.asarray(x2), jnp.asarray(ln),
+            jnp.asarray(prior_T), self.bin_conf,
+            self.config.parsac_dynamic_probability,
+            valid=jnp.asarray(valid), threshold=1.0 / fu,
+            norm_scale=self.config.parsac_norm_scale,
+        )
+        mask = np.asarray(mask)
+
+        # epipolar ambiguity check between keyframe and current frame
+        # using the IMU-predicted relative pose (reference :612-716)
+        q_kfc, p_kfc = kf.camera_pose()
+        R_kf = nputil.quat_to_matrix(q_kfc)
+        R_cu = nputil.quat_to_matrix(q_wc)
+        Rrel = R_cu.T @ R_kf          # kf cam -> cur cam
+        trel = R_cu.T @ (p_kfc - p_wc)
+        E = nputil.quat_to_matrix(np.array([1.0, 0, 0, 0]))  # placeholder
+        tx = np.array([[0, -trel[2], trel[1]],
+                       [trel[2], 0, -trel[0]],
+                       [-trel[1], trel[0], 0]])
+        E = tx @ Rrel
+        Kk = kf.K
+        Kc = curr.K
+        F = np.linalg.inv(Kk.T) @ E @ np.linalg.inv(Kc)
+
+        in_d, out_d = [], []
+        for i, k in enumerate(kps[:n]):
+            tr = self.map.tracks.get(int(curr.track_ids[k]))
+            kj = tr.obs.get(kf.id) if tr else None
+            if kj is None:
+                continue
+            b1 = kf.bearings[kj]
+            b2 = curr.bearings[k]
+            p1 = Kk @ (b1 / b1[2])
+            p2 = Kc @ (b2 / b2[2])
+            l1 = F @ p1
+            d1 = abs(p2 @ l1) / max(np.hypot(l1[0], l1[1]), 1e-12)
+            l2 = F.T @ p2
+            d2 = abs(p1 @ l2) / max(np.hypot(l2[0], l2[1]), 1e-12)
+            (in_d if mask[i] else out_d).append(d1 + d2)
+        if len(in_d) < 20 or len(out_d) < 20:
+            return False
+        th1 = float(np.median(in_d))
+        th2 = float(np.median(out_d))
+        if th2 < th1 * 2:
+            return False  # ambiguous
+        self.m_th = 0.5 * (th1 + th2)
+        for i, k in enumerate(kps[:n]):
+            tr = self.map.tracks.get(int(curr.track_ids[k]))
+            if tr is None:
+                continue
+            if mask[i]:
+                tr.outlier = False
+                tr.static = True
+            else:
+                tr.outlier = True
+                tr.static = False
+        return True
+
+    def update_track_status(self):
+        """2D-2D PARSAC vs recent keyframes; tracks consistently flagged
+        as outliers lose TT_STATIC (reference :741-790)."""
+        curr = self.map.frames[-1]
+        n_check = self.config.parsac_keyframe_check_size
+        start = max(len(self.map.frames) - 1 - n_check, 0)
+        C = curr.track_ids.shape[0]
+        outlier_cnt = np.zeros(C, dtype=int)
+        match_cnt = np.zeros(C, dtype=int)
+        for i in range(start, len(self.map.frames) - 1):
+            fr = self.map.frames[i]
+            p1, p2, idxs = [], [], []
+            for ki in np.nonzero(fr.track_ids >= 0)[0]:
+                tr = self.map.tracks.get(int(fr.track_ids[ki]))
+                kj = tr.obs.get(curr.id) if tr else None
+                if kj is None:
+                    continue
+                b1 = fr.bearings[ki]
+                b2 = curr.bearings[kj]
+                p1.append(b1[:2] / b1[2])
+                p2.append(b2[:2] / b2[2])
+                idxs.append(int(kj))
+            if len(p1) < 10:
+                continue
+            N_CAP = 256
+            nn = min(len(p1), N_CAP)
+            a1 = np.zeros((N_CAP, 3))
+            a1[:, 2] = 1.0
+            a2 = a1.copy()
+            a1[:nn, :2] = np.stack(p1)[:nn]
+            a2[:nn, :2] = np.stack(p2)[:nn]
+            vv = np.zeros((N_CAP,), dtype=bool)
+            vv[:nn] = True
+            thr = (self.m_th if self.m_th > 0 else 1.0) / fr.K[0, 0]
+            _, mask, _ = stereo_mod.find_essential_matrix(
+                self._next_key(), jnp.asarray(a1), jnp.asarray(a2),
+                valid=jnp.asarray(vv), threshold=thr, n_hyp=32,
+            )
+            mask = np.asarray(mask)
+            for j in range(nn):
+                match_cnt[idxs[j]] += 1
+                if not mask[j]:
+                    outlier_cnt[idxs[j]] += 1
+        outlier_th = len(self.map.frames) // 2
+        for k in np.nonzero(curr.track_ids >= 0)[0]:
+            tr = self.map.tracks.get(int(curr.track_ids[k]))
+            if tr is None:
+                continue
+            if outlier_cnt[k] > outlier_th / 2 and outlier_cnt[k] > 0.8 * match_cnt[k]:
+                tr.static = False

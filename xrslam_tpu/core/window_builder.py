@@ -1,0 +1,296 @@
+"""Bridge between the host-side PipelineMap and the fixed-shape solver
+arrays (WindowState/WindowData).
+
+Extraction selects an ordered frame list and a track filter, producing
+padded (K_slots, L_slots) arrays; write-back pushes optimized states
+and landmark world points into the map. Shapes are static per
+configuration so every solve reuses one compiled executable.
+
+The reference equivalent is Solver::add_frame_states /
+add_track_states / add_factor dynamic problem construction
+(reference: xrslam/src/xrslam/estimation/solver.cpp:84-170).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..estimation.window import MargPrior, WindowData, WindowState
+from ..imu import preintegration as pre
+from . import nputil
+from .map import FrameRec, PipelineMap, TrackRec
+
+
+@dataclass
+class WindowMeta:
+    """Bookkeeping to write solver results back into the map."""
+
+    frames: List[FrameRec]
+    track_ids: List[int]          # landmark slot -> track id
+    anchor_bearing: np.ndarray    # (L,3) anchor bearings (for p_w writeback)
+
+
+def interval_samples(frames_between: List[FrameRec], cap: int):
+    """Concatenate raw IMU samples of the given frames into a
+    fixed-capacity buffer (t (cap,), w (cap,3), a (cap,3), count)."""
+    if frames_between:
+        ts = np.concatenate([f.imu_t for f in frames_between])
+        ws = np.concatenate([f.imu_w for f in frames_between])
+        accs = np.concatenate([f.imu_a for f in frames_between])
+    else:
+        ts = np.zeros((0,))
+        ws = np.zeros((0, 3))
+        accs = np.zeros((0, 3))
+    n = min(len(ts), cap)
+    t_buf = np.zeros((cap,))
+    w_buf = np.zeros((cap, 3))
+    a_buf = np.zeros((cap, 3))
+    t_buf[:n] = ts[:n]
+    w_buf[:n] = ws[:n]
+    a_buf[:n] = accs[:n]
+    if n < len(ts):  # should not happen with a sane cap
+        import warnings
+
+        warnings.warn(f"IMU buffer overflow: {len(ts)} samples > cap {cap}")
+    return t_buf, w_buf, a_buf, n
+
+
+def triangulate_track(tr, frames_by_id) -> Optional[np.ndarray]:
+    """Multi-view DLT with cheirality check over all of a track's
+    observing frames (reference map/track.cpp:46-76)."""
+    rows = []
+    Ps = []
+    for fid, k in tr.obs.items():
+        f = frames_by_id.get(fid)
+        if f is None:
+            continue
+        q_wc, p_wc = f.camera_pose()
+        R = nputil.quat_to_matrix(q_wc).T
+        T = -(R @ p_wc)
+        P = np.concatenate([R, T[:, None]], axis=1)  # (3,4)
+        b = f.bearings[k]
+        rows.append(b[0] * P[2] - b[2] * P[0])
+        rows.append(b[1] * P[2] - b[2] * P[1])
+        Ps.append(P)
+    if len(Ps) < 2:
+        return None
+    A = np.stack(rows)
+    _, _, vt = np.linalg.svd(A, full_matrices=True)
+    h = vt[-1]
+    for P in Ps:
+        qz = P @ h
+        if not (qz[2] * h[3] > 0):
+            return None
+    return h[:3] / h[3]
+
+
+def extract_window(
+    pmap: PipelineMap,
+    frames: List[FrameRec],
+    K_slots: int,
+    L_slots: int,
+    noise: pre.ImuNoise,
+    track_filter: Optional[Callable[[TrackRec], bool]] = None,
+    anchor_must_be_in_window: bool = True,
+    imu_cap: int = 256,
+    with_preint: bool = True,
+    all_frames_between: Optional[List[List[FrameRec]]] = None,
+    dtype=jnp.float64,
+):
+    """Build (WindowState, WindowData, WindowMeta) from `frames`.
+
+    - landmark slots are filled with tracks passing `track_filter` that
+      are observed by ≥1 window frame and whose first *window*
+      observation defines the anchor (matching the reference where the
+      first observing frame is the inverse-depth anchor,
+      map/track.cpp:90-101),
+    - preintegration entry j integrates the raw IMU samples between
+      window frames j-1 and j (`all_frames_between[j]` lists the map
+      frames whose sample buffers cover that interval; default: just
+      frame j, i.e. consecutive map frames),
+    - frame fix flags are taken from the FrameRec tags.
+    """
+    K = len(frames)
+    assert K <= K_slots
+    fid_to_slot = {f.id: i for i, f in enumerate(frames)}
+
+    # ---- frame states ----
+    def padK(arrs, d):
+        out = np.zeros((K_slots,) + arrs[0].shape) if arrs else np.zeros((K_slots,) + d)
+        for i, a in enumerate(arrs):
+            out[i] = a
+        return out
+
+    q = padK([f.q for f in frames], (4,))
+    q[K:, 0] = 1.0
+    p = padK([f.p for f in frames], (3,))
+    v = padK([f.v for f in frames], (3,))
+    bg = padK([f.bg for f in frames], (3,))
+    ba = padK([f.ba for f in frames], (3,))
+    q_bc = padK([f.q_bc for f in frames], (4,))
+    q_bc[K:, 0] = 1.0
+    p_bc = padK([f.p_bc for f in frames], (3,))
+    q_bi = padK([f.q_bi for f in frames], (4,))
+    q_bi[K:, 0] = 1.0
+    p_bi = padK([f.p_bi for f in frames], (3,))
+    w2 = padK([f.sqrt_inv_cov2 for f in frames], (2, 2))
+
+    # ---- tracks / landmarks ----
+    track_filter = track_filter or (lambda t: True)
+    chosen: List[TrackRec] = []
+    seen = set()
+    for f in frames:
+        for k in np.nonzero(f.track_ids >= 0)[0]:
+            tid = int(f.track_ids[k])
+            if tid in seen:
+                continue
+            seen.add(tid)
+            tr = pmap.tracks.get(tid)
+            if tr is None or not track_filter(tr):
+                continue
+            n_in_window = sum(1 for fid in tr.obs if fid in fid_to_slot)
+            if n_in_window < 1:
+                continue
+            chosen.append(tr)
+            if len(chosen) >= L_slots:
+                break
+        if len(chosen) >= L_slots:
+            break
+
+    bearings = np.zeros((K_slots, L_slots, 3))
+    bearings[..., 2] = 1.0
+    obs_mask = np.zeros((K_slots, L_slots), dtype=bool)
+    ref_idx = np.zeros((L_slots,), dtype=np.int32)
+    inv_depth = np.zeros((L_slots,))
+    lm_mask = np.zeros((L_slots,), dtype=bool)
+    track_ids = []
+    anchor_bearing = np.zeros((L_slots, 3))
+    anchor_bearing[:, 2] = 1.0
+
+    for l, tr in enumerate(chosen):
+        slots = sorted(fid_to_slot[fid] for fid in tr.obs if fid in fid_to_slot)
+        a_slot = slots[0]
+        ref_idx[l] = a_slot
+        for fid, k in tr.obs.items():
+            s = fid_to_slot.get(fid)
+            if s is None:
+                continue
+            b = frames[s].bearings[k]
+            bearings[s, l] = b / np.linalg.norm(b)
+        obs_mask[[s for s in slots], l] = True
+        anchor_bearing[l] = bearings[a_slot, l]
+        # inverse depth from the stored world point in the anchor camera
+        af = frames[a_slot]
+        q_wc, p_wc = af.camera_pose()
+        if tr.p_w is not None:
+            rng = np.linalg.norm(nputil.quat_rotate_inv(q_wc, tr.p_w - p_wc))
+            inv_depth[l] = 1.0 / max(rng, 1e-9)
+            lm_mask[l] = True
+        track_ids.append(tr.id)
+
+    # ---- preintegration: one batched integrate over all K intervals ----
+    pmask = np.zeros((K_slots,), dtype=bool)
+    bg_lin = np.zeros((K_slots, 3))
+    ba_lin = np.zeros((K_slots, 3))
+    t_bufs = np.zeros((K_slots, imu_cap))
+    w_bufs = np.zeros((K_slots, imu_cap, 3))
+    a_bufs = np.zeros((K_slots, imu_cap, 3))
+    t_ends = np.zeros((K_slots,))
+    counts = np.zeros((K_slots,), dtype=np.int32)
+    for j in range(K_slots):
+        if not with_preint or j == 0 or j >= K:
+            continue
+        between = (all_frames_between[j] if all_frames_between is not None
+                   else [frames[j]])
+        t_buf, w_buf, a_buf, n = interval_samples(between, imu_cap)
+        if n == 0:
+            continue
+        t_bufs[j], w_bufs[j], a_bufs[j] = t_buf, w_buf, a_buf
+        t_ends[j] = frames[j].t
+        counts[j] = n
+        pmask[j] = True
+        bg_lin[j] = frames[j - 1].bg
+        ba_lin[j] = frames[j - 1].ba
+    preint = pre.integrate_batch(
+        jnp.asarray(t_bufs, dtype=dtype), jnp.asarray(w_bufs, dtype=dtype),
+        jnp.asarray(a_bufs, dtype=dtype), jnp.asarray(t_ends, dtype=dtype),
+        jnp.asarray(bg_lin, dtype=dtype), jnp.asarray(ba_lin, dtype=dtype),
+        noise, jnp.asarray(counts),
+    )
+
+    frame_mask = np.zeros((K_slots,), dtype=bool)
+    frame_mask[:K] = True
+    fix_pose = np.zeros((K_slots,), dtype=bool)
+    fix_motion = np.zeros((K_slots,), dtype=bool)
+    for i, f in enumerate(frames):
+        fix_pose[i] = f.fix_pose
+        fix_motion[i] = f.fix_motion
+
+    state = WindowState(
+        q=jnp.asarray(q, dtype=dtype), p=jnp.asarray(p, dtype=dtype),
+        v=jnp.asarray(v, dtype=dtype), bg=jnp.asarray(bg, dtype=dtype),
+        ba=jnp.asarray(ba, dtype=dtype),
+        inv_depth=jnp.asarray(inv_depth, dtype=dtype),
+    )
+    data = WindowData(
+        q_bc=jnp.asarray(q_bc, dtype=dtype), p_bc=jnp.asarray(p_bc, dtype=dtype),
+        q_bi=jnp.asarray(q_bi, dtype=dtype), p_bi=jnp.asarray(p_bi, dtype=dtype),
+        bearings=jnp.asarray(bearings, dtype=dtype),
+        obs_mask=jnp.asarray(obs_mask),
+        ref_idx=jnp.asarray(ref_idx),
+        sqrt_inv_cov2=jnp.asarray(w2, dtype=dtype),
+        preint=preint,
+        preint_mask=jnp.asarray(pmask),
+        bg_lin=jnp.asarray(bg_lin, dtype=dtype),
+        ba_lin=jnp.asarray(ba_lin, dtype=dtype),
+        frame_mask=jnp.asarray(frame_mask),
+        fix_pose=jnp.asarray(fix_pose),
+        fix_motion=jnp.asarray(fix_motion),
+        landmark_mask=jnp.asarray(lm_mask),
+        fix_landmark=jnp.zeros((L_slots,), dtype=bool),
+        marg=MargPrior.zeros(K_slots, 0, dtype=dtype),
+        use_marg=jnp.asarray(False),
+    )
+    meta = WindowMeta(frames=frames, track_ids=track_ids,
+                      anchor_bearing=anchor_bearing)
+    return state, data, meta
+
+
+def write_back(pmap: PipelineMap, state: WindowState, data: WindowData,
+               meta: WindowMeta, write_landmarks: bool = True,
+               frame_subset: Optional[set] = None):
+    """Push optimized states back into the map."""
+    qs = np.asarray(state.q)
+    ps = np.asarray(state.p)
+    vs = np.asarray(state.v)
+    bgs = np.asarray(state.bg)
+    bas = np.asarray(state.ba)
+    for i, f in enumerate(meta.frames):
+        if frame_subset is not None and f.id not in frame_subset:
+            continue
+        if f.fix_pose and f.fix_motion:
+            continue
+        if not f.fix_pose:
+            f.q = nputil.quat_normalize(qs[i])
+            f.p = ps[i].copy()
+        if not f.fix_motion:
+            f.v = vs[i].copy()
+            f.bg = bgs[i].copy()
+            f.ba = bas[i].copy()
+    if write_landmarks:
+        invd = np.asarray(state.inv_depth)
+        refs = np.asarray(data.ref_idx)
+        lm_ok = np.asarray(data.landmark_mask)
+        for l, tid in enumerate(meta.track_ids):
+            tr = pmap.tracks.get(tid)
+            if tr is None or not lm_ok[l]:
+                continue
+            af = meta.frames[int(refs[l])]
+            q_wc, p_wc = af.camera_pose()
+            d = max(float(invd[l]), 1e-9)
+            x_c = meta.anchor_bearing[l] / d
+            tr.p_w = nputil.quat_rotate(q_wc, x_c) + p_wc

@@ -24,6 +24,8 @@ rolled left) happens here so the pipeline's array layout stays
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +45,7 @@ def _roll_state(state: WindowState, victim: int) -> WindowState:
     )
 
 
+@partial(jax.jit, static_argnames=("victim", "eig_clamp"))
 def marginalize_frame(
     state: WindowState, data: WindowData, victim: int = 0, eig_clamp: float = 1.0e-8
 ) -> MargPrior:
@@ -185,6 +188,7 @@ def landmark_world_points(state: WindowState, data: WindowData) -> jnp.ndarray:
     return lie.quat_rotate(state.q[ref], y_b) + state.p[ref]
 
 
+@partial(jax.jit, static_argnames=("victim",))
 def slide_window(
     state: WindowState, data: WindowData, new_prior: MargPrior, victim: int = 0
 ):

@@ -25,6 +25,7 @@ multi-device BA.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -210,11 +211,13 @@ def _lm_step(state: WindowState, data: WindowData, opts: SolveOptions, lam):
     return cand, cost
 
 
+@partial(jax.jit, static_argnames=("opts",))
 def solve_window(
     state: WindowState, data: WindowData, opts: SolveOptions = SolveOptions()
 ):
-    """LM loop with accept/reject (jit-compatible; static iteration
-    count with early convergence handled by damping growth).
+    """LM loop with accept/reject (jitted; the (shapes, opts) pair keys
+    the executable cache, so every same-shape solve — each pipeline
+    step, each test — reuses one compilation).
 
     Returns (state, info dict with cost trajectory).
     """

@@ -20,6 +20,7 @@ batching over windows of frames or over many sequences.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -150,6 +151,7 @@ def sample_dts(ts: jnp.ndarray, t_end, count) -> jnp.ndarray:
     return jnp.where(idx < count, jnp.maximum(dts, 0.0), 0.0)
 
 
+@partial(jax.jit, static_argnames=("compute_sqrt_inv", "cov_eps"))
 def integrate(
     ts: jnp.ndarray,
     ws: jnp.ndarray,
@@ -199,6 +201,27 @@ def sqrt_inv_from_cov(cov: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     return jnp.swapaxes(L, -1, -2)
 
 
+@partial(jax.jit, static_argnames=("compute_sqrt_inv",))
+def integrate_batch(ts, ws, accs, t_end, bg, ba, noise: ImuNoise, count,
+                    compute_sqrt_inv: bool = True) -> PreintDelta:
+    """Vmapped `integrate` over a leading interval axis: ts (K,S),
+    ws/accs (K,S,3), t_end (K,), bg/ba (K,3), count (K,). One compile
+    serves every window extraction — the batched TPU-native form."""
+    d = jax.vmap(
+        lambda t, w, a, te, g, b, c: integrate(
+            t, w, a, te, g, b, noise, count=c,
+            compute_sqrt_inv=compute_sqrt_inv,
+        )
+    )(ts, ws, accs, t_end, bg, ba, count)
+    if compute_sqrt_inv:
+        # empty intervals have singular covariance -> NaN sqrt info;
+        # replace with the identity delta's zero information
+        ok = (count > 0)[:, None, None]
+        d = d._replace(sqrt_inv_cov=jnp.where(ok, d.sqrt_inv_cov, 0.0))
+    return d
+
+
+@jax.jit
 def predict(pose_q, pose_p, v, bg, ba, delta: PreintDelta):
     """Gravity-forward prediction of the next frame's pose/motion from
     the previous optimized state (reference preintegrator.cpp:102-112).

@@ -71,6 +71,9 @@ class VIOPipeline:
         # forward-propagation state (detail.cpp propagate_state)
         self._prop: Optional[dict] = None
         self._imu_since_opt: List[tuple] = []
+        # boundary-sample bookkeeping (see _flush_frames)
+        self._last_frame_t: Optional[float] = None
+        self._last_taken: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     # IMU ingestion (reference detail.cpp:46-101)
@@ -124,6 +127,25 @@ class VIOPipeline:
         """Push a camera frame. `bearings` is the fixed-capacity (C,3)
         unit-bearing array; `track_hint` optionally carries the stub
         tracker's correspondence ids (C,), -1 = empty."""
+        f = self._make_frame(t, bearings)
+        f._hint = track_hint
+        self.frame_pending.append(f)
+        self._flush_frames()
+
+    def track_camera_image(self, t: float, image: np.ndarray,
+                           capacity: int = 256) -> None:
+        """Push a raw grayscale image ((H,W) float32 in [0,1]); the
+        image-based feature tracker (frontend/tracker.py) fills the
+        keypoint slots when the frame is processed — the
+        XRSLAMPushSensorData(CAMERA) entry of the reference
+        (xrslam-interface XRSLAMInternal.cpp:20, detail.cpp:103-128)."""
+        cap = getattr(self.tracker, "capacity", capacity)
+        f = self._make_frame(t, np.zeros((cap, 3), dtype=float))
+        f._image = np.asarray(image, dtype=np.float32)
+        self.frame_pending.append(f)
+        self._flush_frames()
+
+    def _make_frame(self, t: float, bearings: np.ndarray) -> FrameRec:
         cfg = self.config
         f = FrameRec(
             id=new_frame_id(), t=t,
@@ -142,19 +164,29 @@ class VIOPipeline:
             bearings=bearings.astype(float),
             track_ids=np.full((bearings.shape[0],), -1, dtype=np.int64),
         )
-        f._hint = track_hint
-        self.frame_pending.append(f)
-        self._flush_frames()
+        return f
 
     def _flush_frames(self):
         while self.frame_pending and self.last_imu_t >= self.frame_pending[0].t:
             f = self.frame_pending.pop(0)
             take = [s for s in self.imu_pending if s[0] <= f.t]
             self.imu_pending = [s for s in self.imu_pending if s[0] > f.t]
+            # boundary sample: the preintegrator's first dt starts at its
+            # first sample, so the span (prev_frame.t, first_sample) would
+            # be dropped; the reference closes it by prepending the
+            # previous frame's last sample re-stamped at that frame's
+            # time (feature_tracker.cpp:79-88)
+            if (take and self._last_frame_t is not None
+                    and self._last_taken is not None
+                    and take[0][0] - self._last_frame_t > 1e-5):
+                take.insert(0, (self._last_frame_t,
+                                self._last_taken[1], self._last_taken[2]))
             if take:
                 f.imu_t = np.array([s[0] for s in take])
                 f.imu_w = np.stack([s[1] for s in take])
                 f.imu_a = np.stack([s[2] for s in take])
+                self._last_taken = take[-1]
+            self._last_frame_t = f.t
             self._process_frame(f)
 
     # ------------------------------------------------------------------

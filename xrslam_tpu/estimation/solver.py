@@ -60,12 +60,18 @@ def _free_masks(data: WindowData, dtype):
     return f, flm
 
 
-def assemble(state: WindowState, data: WindowData, opts: SolveOptions):
+def assemble(state: WindowState, data: WindowData, opts: SolveOptions,
+             axis_name=None):
     """Build the GN normal equations.
 
     Returns (H (K,15,K,15), b (K,15), Hll (L,), Hfl (K,15,L), bl (L,),
     cost ()) — with fixed/masked entries eliminated (zero rows/cols,
     unit diagonal).
+
+    With `axis_name` set (inside shard_map over landmark columns — the
+    distributed-Schur sharding of SURVEY.md §2.3), the landmark-indexed
+    inputs are the local shard; the frame-block H/b/cost are psum-reduced
+    over the mesh axis while Hll/Hfl/bl stay local to the shard.
     """
     K = state.q.shape[0]
     L = state.inv_depth.shape[0]
@@ -119,6 +125,14 @@ def assemble(state: WindowState, data: WindowData, opts: SolveOptions):
         )
         b = b.at[:, 0:3].add(jnp.einsum("klri,klr->ki", Jq, r))
 
+    # --- shard boundary: everything above is landmark-indexed (local
+    # shard); reduce the frame-block system over the landmark axis.
+    # preint/marg below are frame-only and computed replicated.
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        b = jax.lax.psum(b, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+
     if opts.use_preint:
         rp, Ji, Jj, mp = factors.preint_residual_jac(state, data)
         cost = cost + 0.5 * jnp.sum(rp * rp)
@@ -159,7 +173,8 @@ def assemble(state: WindowState, data: WindowData, opts: SolveOptions):
     return H, b, Hll, Hfl, bl, cost
 
 
-def compute_cost(state: WindowState, data: WindowData, opts: SolveOptions) -> jnp.ndarray:
+def compute_cost(state: WindowState, data: WindowData, opts: SolveOptions,
+                 axis_name=None) -> jnp.ndarray:
     """Total robustified cost (no Jacobians)."""
     cost = jnp.zeros((), dtype=state.p.dtype)
     if opts.use_reproj:
@@ -170,6 +185,8 @@ def compute_cost(state: WindowState, data: WindowData, opts: SolveOptions) -> jn
         r, _, m = factors.rotation_residual_jac(state, data)
         _, c = factors.cauchy_weights(r, m)
         cost = cost + jnp.sum(c)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     if opts.use_preint:
         rp, _, _, _ = factors.preint_residual_jac(state, data)
         cost = cost + 0.5 * jnp.sum(rp * rp)
@@ -178,12 +195,19 @@ def compute_cost(state: WindowState, data: WindowData, opts: SolveOptions) -> jn
     return cost
 
 
-def _lm_step(state: WindowState, data: WindowData, opts: SolveOptions, lam):
+def _lm_step(state: WindowState, data: WindowData, opts: SolveOptions, lam,
+             axis_name=None):
     """One damped-GN step: assemble, Schur-eliminate landmarks, solve,
-    back-substitute. Returns (candidate_state, cost_at_state)."""
+    back-substitute. Returns (candidate_state, cost_at_state).
+
+    Sharded mode (`axis_name`): the Schur complement's landmark
+    reduction Hfl·Hll⁻¹·Hflᵀ is computed per landmark shard and
+    psum-reduced — the distributed SPARSE_SCHUR of SURVEY.md §2.3; the
+    reduced (K·15)² camera solve is replicated (it is tiny), and the
+    landmark back-substitution stays shard-local."""
     K = state.q.shape[0]
     KM = K * ES_SIZE
-    H, b, Hll, Hfl, bl, cost = assemble(state, data, opts)
+    H, b, Hll, Hfl, bl, cost = assemble(state, data, opts, axis_name)
 
     Hd = H.reshape(KM, KM)
     Hfl2 = Hfl.reshape(KM, -1)
@@ -194,8 +218,13 @@ def _lm_step(state: WindowState, data: WindowData, opts: SolveOptions, lam):
 
     # Schur complement over landmarks: S = Hff − Hfl Hll⁻¹ Hflᵀ
     inv_Hll = 1.0 / Hll_d
-    S = Hd - (Hfl2 * inv_Hll[None, :]) @ Hfl2.T
-    rhs = -(b.reshape(-1) - Hfl2 @ (inv_Hll * bl))
+    S_lm = (Hfl2 * inv_Hll[None, :]) @ Hfl2.T
+    rhs_lm = Hfl2 @ (inv_Hll * bl)
+    if axis_name is not None:
+        S_lm = jax.lax.psum(S_lm, axis_name)
+        rhs_lm = jax.lax.psum(rhs_lm, axis_name)
+    S = Hd - S_lm
+    rhs = -(b.reshape(-1) - rhs_lm)
 
     # dense solve of the reduced camera system (small: K·15 ≤ ~200).
     # Jacobi column scaling first: the 1e15 gauge prior (reference
@@ -211,22 +240,17 @@ def _lm_step(state: WindowState, data: WindowData, opts: SolveOptions, lam):
     return cand, cost
 
 
-@partial(jax.jit, static_argnames=("opts",))
-def solve_window(
-    state: WindowState, data: WindowData, opts: SolveOptions = SolveOptions()
+def solve_window_core(
+    state: WindowState, data: WindowData, opts: SolveOptions = SolveOptions(),
+    axis_name=None,
 ):
-    """LM loop with accept/reject (jitted; the (shapes, opts) pair keys
-    the executable cache, so every same-shape solve — each pipeline
-    step, each test — reuses one compilation).
-
-    Returns (state, info dict with cost trajectory).
-    """
-    lam0 = jnp.asarray(opts.lm_init, dtype=state.p.dtype)
-
+    """LM loop with accept/reject. `axis_name` enables the
+    landmark-sharded mode (see _lm_step); pass it when calling from
+    inside shard_map (xrslam_tpu.parallel.sharded)."""
     def body(carry, _):
         st, lam, cost_prev = carry
-        cand, cost_cur = _lm_step(st, data, opts, lam)
-        cost_cand = compute_cost(cand, data, opts)
+        cand, cost_cur = _lm_step(st, data, opts, lam, axis_name)
+        cost_cand = compute_cost(cand, data, opts, axis_name)
         good = jnp.isfinite(cost_cand) & (cost_cand < cost_cur)
         st_next = jax.tree.map(lambda a, c: jnp.where(good, c, a), st, cand)
         lam_next = jnp.clip(
@@ -236,8 +260,24 @@ def solve_window(
         cost_next = jnp.where(good, cost_cand, cost_cur)
         return (st_next, lam_next, cost_next), cost_next
 
-    cost0 = compute_cost(state, data, opts)
+    cost0 = compute_cost(state, data, opts, axis_name)
+    # 0·cost0 ties lam0's varying-axes type to the data (needed when a
+    # shard_map'd batch axis makes the scan carry axis-varying)
+    lam0 = jnp.asarray(opts.lm_init, dtype=state.p.dtype) + 0.0 * cost0
     (state, lam, cost), cost_hist = jax.lax.scan(
         body, (state, lam0, cost0), None, length=opts.iterations
     )
     return state, {"cost0": cost0, "cost": cost, "cost_history": cost_hist, "lambda": lam}
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def solve_window(
+    state: WindowState, data: WindowData, opts: SolveOptions = SolveOptions()
+):
+    """Single-device jitted solve (the (shapes, opts) pair keys the
+    executable cache, so every same-shape solve — each pipeline step,
+    each test — reuses one compilation).
+
+    Returns (state, info dict with cost trajectory).
+    """
+    return solve_window_core(state, data, opts)

@@ -1,0 +1,283 @@
+"""Image-based KLT feature tracker: the real frontend.
+
+Orchestrates the JAX frontend kernels (clahe/pyramid/GFTT in image.py,
+forward+backward pyramidal LK in klt.py) into the reference's per-frame
+tracking behavior (reference: xrslam/src/xrslam/core/
+feature_tracker.cpp:24-153 FeatureTracker::work and
+xrslam/src/xrslam/map/frame.cpp:55-174
+Frame::{detect_keypoints,track_keypoints}):
+
+  1. CLAHE preprocess + 3-level LK pyramid on arrival,
+  2. rotation-predicted initial flow from the gyro preintegration of
+     the inter-frame interval composed with camera/IMU extrinsics
+     (frame.cpp:82-93),
+  3. forward+backward pyramidal LK with border / displacement /
+     round-trip gates (opencv_image.cpp:75-154),
+  4. essential-matrix RANSAC inlier gate (frame.cpp:108-114),
+  5. two-point rotation RANSAC + 70th-percentile misalignment angle →
+     FT_NO_TRANSLATION tag (frame.cpp:115-134),
+  6. track-length-priority Poisson-disk re-filter (frame.cpp:137-163),
+  7. GFTT + spacing-filtered detection of new keypoints into free
+     slots (frame.cpp:55-72).
+
+Keypoint storage is fixed-capacity (C slots per frame) so every jitted
+kernel compiles exactly once per image shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core import nputil
+from ..core.detail import FeatureTrackerBase
+from ..core.map import FrameRec, PipelineMap
+from ..ransac import stereo as stereo_mod
+from . import image as img_ops
+from . import klt
+
+
+def _poisson_accept(pts: np.ndarray, order: np.ndarray, keep_ok: np.ndarray,
+                    min_dist: float) -> np.ndarray:
+    """Greedy spacing filter over pts[order]: accept a point iff it is
+    ≥ min_dist from every previously accepted point (reference
+    utility/poisson_disk_filter.h grid filter, used at
+    frame.cpp:148-163). Returns accept mask aligned with pts. Runs in
+    the native runtime (native/xr_host.cpp xr_poisson_filter) when
+    built."""
+    from .. import native
+
+    nat = native.poisson_filter(pts, order, keep_ok, min_dist)
+    if nat is not None:
+        return nat
+    accept = np.zeros(len(pts), dtype=bool)
+    cell = min_dist / np.sqrt(2.0)
+    grid = {}
+    for i in order:
+        if not keep_ok[i]:
+            continue
+        p = pts[i]
+        gx, gy = int(p[0] // cell), int(p[1] // cell)
+        ok = True
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                for j in grid.get((gx + dx, gy + dy), ()):
+                    if np.sum((pts[j] - p) ** 2) < min_dist * min_dist:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if not ok:
+                break
+        if ok:
+            accept[i] = True
+            grid.setdefault((gx, gy), []).append(i)
+    return accept
+
+
+class KLTFeatureTracker(FeatureTrackerBase):
+    """Feeds the pipeline map from raw grayscale images.
+
+    Frames carry `_image` ((H,W) float32 in [0,1]) set by
+    VIOPipeline.track_camera_image; this tracker attaches `_pts`
+    ((C,2) pixel coords) and `_pyr` (the CLAHE'd pyramid, kept until the
+    next frame has been tracked — the reference's
+    release_image_buffer lifetime, feature_tracker.cpp:126)."""
+
+    def __init__(self, config: Config, capacity: int = 256,
+                 pyramid_levels: int = 3):
+        self.config = config
+        self.capacity = capacity
+        self.levels = pyramid_levels
+        self._rng = np.random.default_rng(config.random)
+        self._prev: Optional[FrameRec] = None
+
+        cfg = config
+        self._preprocess = jax.jit(
+            lambda im: img_ops.build_pyramid(
+                img_ops.clahe(im * 255.0,
+                              clip_limit=cfg.feature_tracker_clahe_clip_limit,
+                              tiles_x=cfg.feature_tracker_clahe_width,
+                              tiles_y=cfg.feature_tracker_clahe_height),
+                levels=pyramid_levels))
+
+    # ------------------------------------------------------------------
+    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
+        image = getattr(frame, "_image", None)
+        assert image is not None, "KLTFeatureTracker needs frame._image"
+        pyr = self._preprocess(jnp.asarray(image, dtype=jnp.float32))
+
+        frame._pyr = pyr
+        frame._pts = np.zeros((self.capacity, 2), dtype=np.float64)
+        H, W = image.shape
+
+        prev = self._prev
+        if prev is not None and prev.n_keypoints() > 0 and hasattr(prev, "_pyr"):
+            self._track_from(tracker_map, prev, frame)
+
+        self._detect_new(tracker_map, frame)
+
+        if prev is not None and hasattr(prev, "_pyr"):
+            del prev._pyr  # release_image_buffer
+        frame._image = None
+        self._prev = frame
+
+    # ------------------------------------------------------------------
+    def _gyro_delta_q(self, prev: FrameRec, frame: FrameRec) -> np.ndarray:
+        """Gyro-only Δq over the inter-frame IMU samples at the previous
+        frame's bias — the preintegration delta the reference's
+        keypoint prediction uses (frame.cpp:82-86)."""
+        dq = np.array([1.0, 0.0, 0.0, 0.0])
+        t_cur = prev.t
+        for i in range(len(frame.imu_t)):
+            dt = float(frame.imu_t[i] - t_cur)
+            if dt <= 0:
+                continue
+            dq = nputil.quat_mul(dq, nputil.expmap((frame.imu_w[i] - prev.bg) * dt))
+            t_cur = float(frame.imu_t[i])
+        if frame.t > t_cur:
+            # hold last gyro sample to the frame timestamp
+            if len(frame.imu_t):
+                dq = nputil.quat_mul(dq, nputil.expmap(
+                    (frame.imu_w[-1] - prev.bg) * (frame.t - t_cur)))
+        return nputil.quat_normalize(dq)
+
+    def _track_from(self, tracker_map: PipelineMap, prev: FrameRec,
+                    frame: FrameRec):
+        cfg = self.config
+        C = self.capacity
+        H, W = frame._pyr[0].shape
+        slots = np.nonzero(prev.track_ids >= 0)[0]
+        n = len(slots)
+        valid = np.zeros((C,), dtype=bool)
+        valid[:n] = True
+        pts_prev = np.zeros((C, 2), dtype=np.float32)
+        pts_prev[:n] = prev._pts[slots]
+        bearings_prev = prev.bearings[slots]  # (n,3)
+
+        # rotation-predicted initial flow (frame.cpp:82-93):
+        # delta_key_q = (q_bc^† · q_bi · Δq_gyro · q_bi^† · q_bc)^†
+        pts_init = pts_prev.copy()
+        if cfg.feature_tracker_predict_keypoints and len(frame.imu_t) > 0:
+            dq = self._gyro_delta_q(prev, frame)
+            q_cam = nputil.quat_mul(
+                nputil.quat_conj(prev.q_bc),
+                nputil.quat_mul(prev.q_bi, nputil.quat_mul(
+                    dq, nputil.quat_mul(nputil.quat_conj(frame.q_bi), frame.q_bc))))
+            R = nputil.quat_to_matrix(nputil.quat_conj(q_cam))
+            pred_b = bearings_prev @ R.T
+            z = np.clip(pred_b[:, 2:3], 1e-6, None)
+            uv = (frame.K @ (pred_b / z).T).T[:, :2]
+            inb = ((uv[:, 0] >= 0) & (uv[:, 0] < W)
+                   & (uv[:, 1] >= 0) & (uv[:, 1] < H) & (pred_b[:, 2] > 0))
+            pts_init[:n] = np.where(inb[:, None], uv, pts_prev[:n]).astype(np.float32)
+
+        nxt, status = klt.track_keypoints(
+            prev._pyr, frame._pyr,
+            jnp.asarray(pts_prev), jnp.asarray(pts_init), jnp.asarray(valid),
+            win=21, iters=30, eps=0.01, border=20)
+        nxt = np.asarray(nxt, dtype=np.float64)
+        status = np.asarray(status).copy()
+        status[n:] = False
+
+        # essential RANSAC gate on normalized coords (frame.cpp:108-114)
+        Kinv = np.linalg.inv(frame.K)
+        b_next = (Kinv @ np.concatenate(
+            [nxt, np.ones((C, 1))], axis=1).T).T
+        b_next /= np.linalg.norm(b_next, axis=1, keepdims=True)
+        if status.sum() >= 8:
+            key = jax.random.PRNGKey(self._rng.integers(2**31))
+            # homogeneous z=1 normalized points (hnormalized in the ref)
+            h_prev = np.zeros((C, 3))
+            h_prev[:, 2] = 1.0
+            h_prev[:n] = bearings_prev / np.clip(bearings_prev[:, 2:3], 1e-9, None)
+            h_next = b_next / np.clip(b_next[:, 2:3], 1e-9, None)
+            _, e_mask, _ = stereo_mod.find_essential_matrix(
+                key, jnp.asarray(h_prev), jnp.asarray(h_next),
+                valid=jnp.asarray(status), threshold=1.0)
+            e_mask = np.asarray(e_mask)
+            status &= e_mask
+
+            # rotation RANSAC + misalignment percentile (frame.cpp:115-134)
+            bp = np.zeros((C, 3))
+            bp[:, 2] = 1.0
+            bp[:n] = bearings_prev
+            R_rot, r_mask, _ = stereo_mod.find_rotation_matrix(
+                key, jnp.asarray(bp), jnp.asarray(b_next),
+                valid=jnp.asarray(status),
+                threshold=np.pi / 180.0 * cfg.rotation_ransac_threshold)
+            R_rot = np.asarray(R_rot)
+            r_mask = np.asarray(r_mask) & status
+            if r_mask.sum() > 0:
+                cosang = np.clip(np.sum((bp @ R_rot.T) * b_next, axis=1), -1, 1)
+                angles = np.sort(np.degrees(np.arccos(cosang[r_mask])))
+                misalignment = angles[len(angles) * 7 // 10]
+            else:
+                misalignment = 0.0
+            if misalignment < cfg.rotation_misalignment_threshold:
+                frame.no_translation = True
+
+        # track-length-priority Poisson re-filter (frame.cpp:137-163)
+        lengths = np.zeros((C,), dtype=np.int64)
+        keep_ok = np.zeros((C,), dtype=bool)
+        for i in range(n):
+            if not status[i]:
+                continue
+            tr = tracker_map.get_track(prev, int(slots[i]))
+            if tr is None:
+                continue
+            if tr.trash:
+                continue
+            lengths[i] = len(tr.obs)
+            keep_ok[i] = True
+        order = np.argsort(-lengths, kind="stable")
+        accept = _poisson_accept(nxt, order, keep_ok & status,
+                                 cfg.feature_tracker_min_keypoint_distance)
+
+        # extend tracks into the new frame's slots
+        out_slot = 0
+        for i in np.nonzero(accept)[0]:
+            tr = tracker_map.get_track(prev, int(slots[i]), create=True)
+            frame.bearings[out_slot] = b_next[i]
+            frame._pts[out_slot] = nxt[i]
+            tracker_map.add_observation(tr, frame, out_slot)
+            tr.life += 1
+            out_slot += 1
+
+    # ------------------------------------------------------------------
+    def _detect_new(self, tracker_map: PipelineMap, frame: FrameRec):
+        cfg = self.config
+        C = self.capacity
+        used = np.nonzero(frame.track_ids >= 0)[0]
+        free = C - len(used)
+        if free <= 0:
+            return
+        preset = np.zeros((C, 2), dtype=np.float32)
+        preset_valid = np.zeros((C,), dtype=bool)
+        preset[:len(used)] = frame._pts[used]
+        preset_valid[:len(used)] = True
+
+        pts, ok = img_ops.detect_keypoints(
+            frame._pyr[0],
+            jnp.asarray(preset), jnp.asarray(preset_valid),
+            max_points=cfg.feature_tracker_max_keypoint_detection,
+            min_distance=cfg.feature_tracker_min_keypoint_distance,
+            quality_level=1e-3, border=20)
+        pts = np.asarray(pts)
+        ok = np.asarray(ok)
+
+        Kinv = np.linalg.inv(frame.K)
+        slot = len(used)
+        for i in np.nonzero(ok)[0]:
+            if slot >= C:
+                break
+            b = Kinv @ np.array([pts[i, 0], pts[i, 1], 1.0])
+            b /= np.linalg.norm(b)
+            frame.bearings[slot] = b
+            frame._pts[slot] = pts[i]
+            tracker_map.get_track(frame, slot, create=True)
+            slot += 1

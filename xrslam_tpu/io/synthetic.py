@@ -80,6 +80,83 @@ def circle_scene(
     return Scene(t=ts, q=qs, p=ps, v=vs, landmarks=landmarks, imu_t=imu_t, imu_w=imu_w, imu_a=imu_a)
 
 
+def wave_scene(
+    n_frames: int = 60,
+    n_landmarks: int = 256,
+    cam_hz: float = 20.0,
+    imu_hz: float = 200.0,
+    radius: float = 3.0,
+    omega: float = 0.25,
+    height: float = 1.5,
+    seed: int = 0,
+    dtype=jnp.float64,
+) -> Scene:
+    """Excitation-rich trajectory: a circle with modulated angular rate,
+    breathing radius, and vertical bobbing — non-constant body-frame
+    specific force, so monocular VI initialization (gravity/scale/
+    velocity) is fully observable. The constant-rate `circle_scene` is a
+    constant-twist trajectory whose accelerometer reading is constant in
+    the body frame, which makes scale/gravity *unobservable* for the
+    initializer (the degenerate case the reference would also fail on);
+    use this scene for end-to-end initialization tests.
+
+    IMU is derived by autodiff: a(t) = p̈, ω_b = 2·vec(q⁻¹ ⊗ q̇).
+    """
+    g = jnp.array([0.0, 0.0, -GRAVITY_NOMINAL], dtype=dtype)
+
+    def theta(t):
+        return omega * t + 0.35 * jnp.sin(1.9 * t)
+
+    def p_of(t):
+        th = theta(t)
+        r = radius + 0.25 * jnp.sin(1.3 * t)
+        return jnp.stack([r * jnp.cos(th), r * jnp.sin(th),
+                          height + 0.2 * jnp.sin(1.7 * t)])
+
+    def q_of(t):
+        th = theta(t)
+        yaw = lie.expmap(jnp.array([0.0, 0.0, 1.0], dtype=dtype) * (th + jnp.pi / 2))
+        wob = lie.expmap(jnp.stack([0.08 * jnp.sin(1.1 * t),
+                                    0.06 * jnp.sin(0.9 * t + 1.0),
+                                    jnp.zeros((), dtype=dtype)]))
+        return lie.quat_mul(yaw, wob)
+
+    v_of = jax.jacfwd(p_of)
+    a_of = jax.jacfwd(v_of)
+    dq_of = jax.jacfwd(q_of)
+
+    def pose(t):
+        return q_of(t), p_of(t), v_of(t)
+
+    def imu(t):
+        q = q_of(t)
+        a_b = lie.quat_rotate_inv(q, a_of(t) - g)
+        # quaternion kinematics: q̇ = ½ q ⊗ [0, ω_b]
+        wq = 2.0 * lie.quat_mul(lie.quat_conj(q), dq_of(t))
+        return wq[1:4], a_b
+
+    ts = jnp.arange(n_frames, dtype=dtype) / cam_hz
+    qs, ps, vs = jax.vmap(pose)(ts)
+
+    spf = int(imu_hz / cam_hz)
+    imu_t = ts[:, None] + jnp.arange(spf, dtype=dtype)[None, :] / imu_hz
+    imu_w, imu_a = jax.vmap(jax.vmap(imu))(imu_t)
+
+    key = jax.random.PRNGKey(seed)
+    kr, kz, kth = jax.random.split(key, 3)
+    r_lm = jax.random.uniform(kr, (n_landmarks,), minval=0.2 * radius,
+                              maxval=0.8 * radius, dtype=dtype)
+    th_lm = jax.random.uniform(kth, (n_landmarks,), minval=0.0,
+                               maxval=2 * jnp.pi, dtype=dtype)
+    z_lm = jax.random.uniform(kz, (n_landmarks,), minval=-0.5, maxval=3.0,
+                              dtype=dtype)
+    landmarks = jnp.stack([r_lm * jnp.cos(th_lm), r_lm * jnp.sin(th_lm), z_lm],
+                          axis=-1)
+
+    return Scene(t=ts, q=qs, p=ps, v=vs, landmarks=landmarks,
+                 imu_t=imu_t, imu_w=imu_w, imu_a=imu_a)
+
+
 DEFAULT_IMU_NOISE = None  # set below once ImuNoise is importable
 
 

@@ -100,9 +100,14 @@ def reproj_residual_jac(state: WindowState, data: WindowData):
     zero13 = jnp.zeros(13, dtype=state.p.dtype)
 
     def obs_rj(q_tgt, p_tgt, qr, pr, invd, zr, lt, qbr, pbr, qbt, pbt, w2):
-        r = per_obs(zero13, q_tgt, p_tgt, qr, pr, invd, zr, lt, qbr, pbr, qbt, pbt, w2)
-        J = jax.jacfwd(per_obs)(zero13, q_tgt, p_tgt, qr, pr, invd, zr, lt, qbr, pbr, qbt, pbt, w2)
-        return r, J
+        # jacrev: 2 residuals × 13 local params — two VJP sweeps beat
+        # thirteen JVP sweeps (the residual chain is the latency-bound
+        # part of window assembly on TPU)
+        r, J = jax.vjp(
+            lambda dx: per_obs(dx, q_tgt, p_tgt, qr, pr, invd, zr, lt,
+                               qbr, pbr, qbt, pbt, w2), zero13)
+        rows = jax.vmap(lambda e: J(e)[0])(jnp.eye(2, dtype=r.dtype))
+        return r, rows
 
     # vmap over L then K
     def per_frame(q_tgt, p_tgt, qbt, pbt, w2, lts, zs_tgt_unused):

@@ -195,19 +195,20 @@ def compute_cost(state: WindowState, data: WindowData, opts: SolveOptions,
     return cost
 
 
-def _lm_step(state: WindowState, data: WindowData, opts: SolveOptions, lam,
-             axis_name=None):
-    """One damped-GN step: assemble, Schur-eliminate landmarks, solve,
-    back-substitute. Returns (candidate_state, cost_at_state).
+def _solve_from(sys, state: WindowState, opts: SolveOptions, lam,
+                axis_name=None) -> WindowState:
+    """One damped-GN step from an already-assembled system: Schur-
+    eliminate landmarks, solve the reduced camera system, back-
+    substitute, retract. Returns the candidate state.
 
     Sharded mode (`axis_name`): the Schur complement's landmark
     reduction Hfl·Hll⁻¹·Hflᵀ is computed per landmark shard and
     psum-reduced — the distributed SPARSE_SCHUR of SURVEY.md §2.3; the
     reduced (K·15)² camera solve is replicated (it is tiny), and the
     landmark back-substitution stays shard-local."""
+    H, b, Hll, Hfl, bl, _cost = sys
     K = state.q.shape[0]
     KM = K * ES_SIZE
-    H, b, Hll, Hfl, bl, cost = assemble(state, data, opts, axis_name)
 
     Hd = H.reshape(KM, KM)
     Hfl2 = Hfl.reshape(KM, -1)
@@ -233,39 +234,66 @@ def _lm_step(state: WindowState, data: WindowData, opts: SolveOptions, lam,
     # returns garbage steps — the same Jacobian scaling Ceres applies.
     d = jax.lax.rsqrt(jnp.clip(jnp.diag(S), 1e-30, None))
     Sn = S * d[:, None] * d[None, :]
+    # Cholesky (assume_a="pos"): measured fastest on TPU *in this scan
+    # context* — standalone micro-benchmarks rank LU and the scan-based
+    # Gauss-Jordan (_dense_solve) ahead, but inside the jitted LM scan
+    # both regress end-to-end throughput by ~30% (604 -> ~430 solves/s)
     df = d * jax.scipy.linalg.solve(Sn, d * rhs, assume_a="pos")
     dl = -(bl + Hfl2.T @ df) * inv_Hll
 
-    cand = retract(state, df.reshape(K, ES_SIZE), dl)
-    return cand, cost
+    return retract(state, df.reshape(K, ES_SIZE), dl)
+
+
+def _lm_step(state: WindowState, data: WindowData, opts: SolveOptions, lam,
+             axis_name=None):
+    """One damped-GN step: assemble + _solve_from. Returns
+    (candidate_state, cost_at_state). Kept for tests/direct use; the
+    LM loop in solve_window_core uses the one-assemble-per-iteration
+    deferred accept/reject form instead."""
+    sys = assemble(state, data, opts, axis_name)
+    return _solve_from(sys, state, opts, lam, axis_name), sys[5]
 
 
 def solve_window_core(
     state: WindowState, data: WindowData, opts: SolveOptions = SolveOptions(),
     axis_name=None,
 ):
-    """LM loop with accept/reject. `axis_name` enables the
-    landmark-sharded mode (see _lm_step); pass it when calling from
-    inside shard_map (xrslam_tpu.parallel.sharded)."""
+    """LM loop with deferred accept/reject: exactly ONE system assembly
+    (residuals + Jacobians + cost) per iteration. The candidate from
+    iteration i is evaluated by iteration i+1's assembly; on rejection
+    the previously accepted system is reused with a larger damping —
+    the classic LM bookkeeping, and half the work of the naive
+    assemble-then-recost loop (the assembly is the latency-bound part
+    of the solve on TPU).
+
+    `axis_name` enables the landmark-sharded mode (see _solve_from);
+    pass it when calling from inside shard_map
+    (xrslam_tpu.parallel.sharded)."""
+    sys0 = assemble(state, data, opts, axis_name)
+    cost0 = sys0[5]
+    # 0·cost0 ties lam0's varying-axes type to the data (needed when a
+    # shard_map'd batch axis makes the scan carry axis-varying)
+    lam0 = jnp.asarray(opts.lm_init, dtype=state.p.dtype) + 0.0 * cost0
+    cand0 = _solve_from(sys0, state, opts, lam0, axis_name)
+
     def body(carry, _):
-        st, lam, cost_prev = carry
-        cand, cost_cur = _lm_step(st, data, opts, lam, axis_name)
-        cost_cand = compute_cost(cand, data, opts, axis_name)
-        good = jnp.isfinite(cost_cand) & (cost_cand < cost_cur)
-        st_next = jax.tree.map(lambda a, c: jnp.where(good, c, a), st, cand)
+        st_best, cost_best, sys_best, lam, st_cand = carry
+        sys_cand = assemble(st_cand, data, opts, axis_name)
+        cost_cand = sys_cand[5]
+        good = jnp.isfinite(cost_cand) & (cost_cand < cost_best)
+        sel = lambda a, c: jnp.where(good, c, a)
+        st_base = jax.tree.map(sel, st_best, st_cand)
+        sys_base = jax.tree.map(sel, sys_best, sys_cand)
+        cost_base = jnp.where(good, cost_cand, cost_best)
         lam_next = jnp.clip(
             jnp.where(good, lam * opts.lm_down, lam * opts.lm_up),
             opts.lm_min, opts.lm_max,
         )
-        cost_next = jnp.where(good, cost_cand, cost_cur)
-        return (st_next, lam_next, cost_next), cost_next
+        st_next = _solve_from(sys_base, st_base, opts, lam_next, axis_name)
+        return (st_base, cost_base, sys_base, lam_next, st_next), cost_base
 
-    cost0 = compute_cost(state, data, opts, axis_name)
-    # 0·cost0 ties lam0's varying-axes type to the data (needed when a
-    # shard_map'd batch axis makes the scan carry axis-varying)
-    lam0 = jnp.asarray(opts.lm_init, dtype=state.p.dtype) + 0.0 * cost0
-    (state, lam, cost), cost_hist = jax.lax.scan(
-        body, (state, lam0, cost0), None, length=opts.iterations
+    (state, cost, _, lam, _), cost_hist = jax.lax.scan(
+        body, (state, cost0, sys0, lam0, cand0), None, length=opts.iterations
     )
     return state, {"cost0": cost0, "cost": cost, "cost_history": cost_hist, "lambda": lam}
 

@@ -49,8 +49,16 @@ def _reproj_residual_core(
     return sqrt_inv_cov2 @ r
 
 
-def reproj_residual_jac(state: WindowState, data: WindowData):
+def reproj_residual_jac(state: WindowState, data: WindowData,
+                        mode: str = "rev"):
     """All (K,L) reprojection residuals + Jacobian blocks.
+
+    `mode`: "rev" (2 VJP sweeps — faster on TPU, the residual chain is
+    latency-bound) or "fwd" (13 JVP tangents). Reverse-mode AD produces
+    WRONG Jacobians inside shard_map in JAX 0.9 (the primal is exact,
+    the cotangent propagation across the manual-axes boundary is not),
+    so sharded solves must pass mode="fwd" — solver.assemble does this
+    automatically when given an axis_name.
 
     Returns (r, J_t, J_r, J_d, w_mask):
       r   (K,L,2)    weighted residuals (zeroed where masked)
@@ -99,15 +107,12 @@ def reproj_residual_jac(state: WindowState, data: WindowData):
 
     zero13 = jnp.zeros(13, dtype=state.p.dtype)
 
+    jac = jax.jacrev if mode == "rev" else jax.jacfwd
+
     def obs_rj(q_tgt, p_tgt, qr, pr, invd, zr, lt, qbr, pbr, qbt, pbt, w2):
-        # jacrev: 2 residuals × 13 local params — two VJP sweeps beat
-        # thirteen JVP sweeps (the residual chain is the latency-bound
-        # part of window assembly on TPU)
-        r, J = jax.vjp(
-            lambda dx: per_obs(dx, q_tgt, p_tgt, qr, pr, invd, zr, lt,
-                               qbr, pbr, qbt, pbt, w2), zero13)
-        rows = jax.vmap(lambda e: J(e)[0])(jnp.eye(2, dtype=r.dtype))
-        return r, rows
+        f = lambda dx: per_obs(dx, q_tgt, p_tgt, qr, pr, invd, zr, lt,
+                               qbr, pbr, qbt, pbt, w2)
+        return f(zero13), jac(f)(zero13)
 
     # vmap over L then K
     def per_frame(q_tgt, p_tgt, qbt, pbt, w2, lts, zs_tgt_unused):

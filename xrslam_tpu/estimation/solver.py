@@ -87,7 +87,10 @@ def assemble(state: WindowState, data: WindowData, opts: SolveOptions,
     R1 = jax.nn.one_hot(data.ref_idx, K, dtype=dt) * data.landmark_mask[:, None].astype(dt)
 
     if opts.use_reproj:
-        r, Jt, Jr6, Jd, m = factors.reproj_residual_jac(state, data)
+        # reverse-mode Jacobians are broken inside shard_map (JAX 0.9,
+        # see factors.reproj_residual_jac) → forward mode when sharded
+        r, Jt, Jr6, Jd, m = factors.reproj_residual_jac(
+            state, data, mode="rev" if axis_name is None else "fwd")
         w, c = factors.cauchy_weights(r, m)
         cost = cost + jnp.sum(c)
         wf = w[..., None]

@@ -43,12 +43,18 @@ def clahe(image: jnp.ndarray, clip_limit: float = 6.0, tiles_x: int = 8, tiles_y
     area = th * tw
     img_u8 = jnp.clip(image, 0, 255).astype(jnp.int32)
 
-    ty_idx = jnp.arange(H) // th
-    tx_idx = jnp.arange(W) // tw
-    hist = jnp.zeros((tiles_y, tiles_x, 256), dtype=jnp.float32)
-    hist = hist.at[
-        ty_idx[:, None].repeat(W, 1), tx_idx[None, :].repeat(H, 0), img_u8
-    ].add(1.0)
+    # per-tile histogram by chunked equality counting (a scatter-add
+    # histogram drags a gather/scatter layout through the whole fusion;
+    # comparisons are pure VPU work)
+    tiled = img_u8.reshape(tiles_y, th, tiles_x, tw)
+
+    def hist_chunk(c):
+        bins = c * 16 + jnp.arange(16)
+        eq = (tiled[..., None] == bins[None, None, None, None, :])
+        return jnp.sum(eq, axis=(1, 3), dtype=jnp.float32)  # (ty,tx,16)
+
+    hist = jax.lax.map(hist_chunk, jnp.arange(16))           # (16,ty,tx,16)
+    hist = jnp.moveaxis(hist, 0, 2).reshape(tiles_y, tiles_x, 256)
 
     limit = jnp.maximum(1.0, clip_limit * area / 256.0)
     clipped = jnp.minimum(hist, limit)
@@ -58,26 +64,37 @@ def clahe(image: jnp.ndarray, clip_limit: float = 6.0, tiles_x: int = 8, tiles_y
     cdf = jnp.cumsum(hist_f, axis=-1)
     lut = jnp.clip(jnp.round(cdf * (255.0 / area)), 0, 255)  # (ty,tx,256)
 
-    # bilinear interpolation between the 4 neighboring tile LUTs
+    # bilinear interpolation between the 4 neighboring tile LUTs,
+    # evaluated WITHOUT per-pixel gathers: a per-pixel LUT gather makes
+    # XLA pick a gather-oriented output layout whose relayout in any
+    # downstream conv costs ~17 ms/frame on TPU. Instead the
+    # interpolated LUT is materialized in 16-bin chunks (H,W,16) and
+    # blended against equality masks — pure VPU ops.
     fy = (jnp.arange(H) + 0.5) / th - 0.5
     fx = (jnp.arange(W) + 0.5) / tw - 0.5
     y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, tiles_y - 1)
     x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, tiles_x - 1)
     y1 = jnp.clip(y0 + 1, 0, tiles_y - 1)
     x1 = jnp.clip(x0 + 1, 0, tiles_x - 1)
-    wy = jnp.clip(fy - y0, 0.0, 1.0)[:, None]
-    wx = jnp.clip(fx - x0, 0.0, 1.0)[None, :]
+    wy = jnp.clip(fy - y0, 0.0, 1.0)
+    wx = jnp.clip(fx - x0, 0.0, 1.0)
 
-    def tap(yi, xi):
-        return lut[yi[:, None].repeat(W, 1), xi[None, :].repeat(H, 0), img_u8]
+    CHUNK = 16
 
-    out = (
-        (1 - wy) * (1 - wx) * tap(y0, x0)
-        + (1 - wy) * wx * tap(y0, x1)
-        + wy * (1 - wx) * tap(y1, x0)
-        + wy * wx * tap(y1, x1)
-    )
-    return out.astype(jnp.float32)
+    def apply_chunk(acc, c):
+        lut_c = jax.lax.dynamic_slice_in_dim(lut, c * CHUNK, CHUNK, axis=2)
+        ly = ((1 - wy)[:, None, None] * lut_c[y0]
+              + wy[:, None, None] * lut_c[y1])          # (H, tiles_x, CH)
+        lyx = ((1 - wx)[None, :, None] * ly[:, x0]
+               + wx[None, :, None] * ly[:, x1])          # (H, W, CH)
+        bins = c * CHUNK + jnp.arange(CHUNK)
+        sel = (img_u8[:, :, None] == bins[None, None, :]).astype(jnp.float32)
+        return acc + jnp.sum(lyx * sel, axis=-1), None
+
+    out, _ = jax.lax.scan(apply_chunk,
+                          jnp.zeros((H, W), dtype=jnp.float32),
+                          jnp.arange(256 // CHUNK))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -88,12 +105,18 @@ _GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
 
 
 def _sep_filter(img: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2D correlation with replicate border (H,W)."""
+    """Separable 2D correlation with replicate border (H,W).
+
+    Two conv_general_dilated calls (1-wide kernels) rather than
+    per-row/col vmapped convolves — the vmap form lowers to hundreds of
+    tiny ops and dominated the whole preprocessing stage on TPU."""
     rx, ry = kx.shape[0] // 2, ky.shape[0] // 2
-    p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")
-    p = jax.vmap(lambda row: jnp.convolve(row, kx[::-1], mode="valid"))(p)
-    p = jax.vmap(lambda col: jnp.convolve(col, ky[::-1], mode="valid"), in_axes=1, out_axes=1)(p)
-    return p
+    p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")[None, None]
+    p = jax.lax.conv_general_dilated(
+        p, kx.reshape(1, 1, 1, -1), (1, 1), "VALID")
+    p = jax.lax.conv_general_dilated(
+        p, ky.reshape(1, 1, -1, 1), (1, 1), "VALID")
+    return p[0, 0]
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
@@ -141,12 +164,28 @@ def sobel(img: jnp.ndarray):
 def harris_response(img: jnp.ndarray, k: float = 0.04, block_size: int = 3) -> jnp.ndarray:
     """cv::cornerHarris response (GFTT useHarris=true, block 3, Sobel 3
     — reference opencv_image.cpp:184-188). Normalization constants
-    cancel in GFTT's relative quality threshold."""
-    ix, iy = sobel(img)
-    box = jnp.ones((block_size,), dtype=jnp.float32)
-    sxx = _sep_filter(ix * ix, box, box)
-    syy = _sep_filter(iy * iy, box, box)
-    sxy = _sep_filter(ix * iy, box, box)
+    cancel in GFTT's relative quality threshold.
+
+    Two multi-channel 3×3 convs (gradients; box sums) instead of ten
+    separable 1D passes — conv call count, not FLOPs, is what this
+    stage pays for on TPU."""
+    dt = img.dtype
+    # channel conv #1: sobel x & y in one call
+    kx2d = jnp.outer(_SOBEL_S, _SOBEL_D).astype(dt)   # d/dx: smooth rows, diff cols
+    ky2d = jnp.outer(_SOBEL_D, _SOBEL_S).astype(dt)
+    kgrad = jnp.stack([kx2d, ky2d])[:, None]           # (2,1,3,3)
+    p = jnp.pad(img, 1, mode="edge")[None, None]
+    g = jax.lax.conv_general_dilated(p, kgrad, (1, 1), "VALID")[0]  # (2,H,W)
+    ix, iy = g[0], g[1]
+
+    # channel conv #2: depthwise box sums of (ix², iy², ix·iy)
+    prods = jnp.stack([ix * ix, iy * iy, ix * iy])[None]  # (1,3,H,W)
+    r = block_size // 2
+    pp = jnp.pad(prods, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
+    kbox = jnp.ones((3, 1, block_size, block_size), dtype=dt)
+    s = jax.lax.conv_general_dilated(pp, kbox, (1, 1), "VALID",
+                                     feature_group_count=3)[0]
+    sxx, syy, sxy = s[0], s[1], s[2]
     det = sxx * syy - sxy * sxy
     tr = sxx + syy
     return det - k * tr * tr
@@ -158,7 +197,32 @@ def _maxpool3(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(windows).max(axis=0)
 
 
-@partial(jax.jit, static_argnames=("max_candidates", "border"))
+@partial(jax.jit, static_argnames=("quality_level", "border", "k"))
+def _gftt_score(img: jnp.ndarray, quality_level: float, border: int, k: float):
+    H, W = img.shape
+    R = harris_response(img, k=k)
+    is_peak = R >= _maxpool3(R)
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    in_border = (xs >= border) & (xs < W - border) & (ys >= border) & (ys < H - border)
+    good = is_peak & in_border & (R > quality_level * jnp.max(R))
+    return jnp.where(good, R, -jnp.inf).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("max_candidates", "W"))
+def _gftt_select(score: jnp.ndarray, max_candidates: int, W: int):
+    if jax.default_backend() == "tpu":
+        # approx_max_k: TPU-native partial reduction — exact top_k over
+        # H·W pixels costs several ms, approx recall ~0.95 is plenty
+        # for corner candidates that then pass a spacing filter
+        top, idx = jax.lax.approx_max_k(score, max_candidates)
+    else:
+        top, idx = jax.lax.top_k(score, max_candidates)
+    pts = jnp.stack([(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1)
+    valid = jnp.isfinite(top)
+    return pts, jnp.where(valid, top, 0.0), valid
+
+
 def gftt_candidates(
     img: jnp.ndarray,
     max_candidates: int = 1024,
@@ -171,19 +235,12 @@ def gftt_candidates(
 
     Returns (pts (N,2) float32 xy, response (N,), valid (N,)).
     Border rejection (20 px) matches opencv_image.cpp:60-66.
+
+    Deliberately TWO jit stages (score; top-k select): fused into one
+    executable the TPU compiler schedules the pipeline ~2x slower.
     """
-    H, W = img.shape
-    R = harris_response(img, k=k)
-    is_peak = R >= _maxpool3(R)
-    ys = jnp.arange(H)[:, None]
-    xs = jnp.arange(W)[None, :]
-    in_border = (xs >= border) & (xs < W - border) & (ys >= border) & (ys < H - border)
-    good = is_peak & in_border & (R > quality_level * jnp.max(R))
-    score = jnp.where(good, R, -jnp.inf).reshape(-1)
-    top, idx = jax.lax.top_k(score, max_candidates)
-    pts = jnp.stack([(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1)
-    valid = jnp.isfinite(top)
-    return pts, jnp.where(valid, top, 0.0), valid
+    score = _gftt_score(img, quality_level, border, k)
+    return _gftt_select(score, max_candidates, img.shape[1])
 
 
 @partial(jax.jit, static_argnames=("max_out",))

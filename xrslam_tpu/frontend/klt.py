@@ -43,6 +43,35 @@ def _bilinear(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _sample_window(img: jnp.ndarray, center: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Bilinearly sample a (win,win) patch centered at `center` (x,y).
+
+    One contiguous dynamic_slice of (win+1,win+1) plus four shifted
+    static slices — the whole window shares a single fractional offset,
+    so per-tap gathers (catastrophic on TPU: hundreds of scalar gathers
+    per point) collapse to one block load and VPU blends. dynamic_slice
+    clamps the block to the image; out-of-window points are rejected by
+    the caller's border gates, matching the clamped-tap semantics of
+    cv::calcOpticalFlowPyrLK at borders closely enough."""
+    H, W = img.shape
+    r = win // 2
+    x0f = center[0] - r
+    y0f = center[1] - r
+    # clamp the block corner ourselves and keep the fractional offset
+    # consistent with the clamped corner: a ≤1 px overflow at the image
+    # edge then still samples exactly (fx ∈ (1, 2) would extrapolate,
+    # but such points are frozen/rejected by the tracking gates)
+    ix = jnp.clip(jnp.floor(x0f).astype(jnp.int32), 0, max(W - win - 1, 0))
+    iy = jnp.clip(jnp.floor(y0f).astype(jnp.int32), 0, max(H - win - 1, 0))
+    fx = x0f - ix.astype(x0f.dtype)
+    fy = y0f - iy.astype(y0f.dtype)
+    blk = jax.lax.dynamic_slice(img, (iy, ix), (win + 1, win + 1))
+    return ((1 - fy) * (1 - fx) * blk[:-1, :-1]
+            + (1 - fy) * fx * blk[:-1, 1:]
+            + fy * (1 - fx) * blk[1:, :-1]
+            + fy * fx * blk[1:, 1:])
+
+
 def _track_level(
     prev_img, prev_ix, prev_iy, next_img, pts_prev, guess, valid,
     win: int, iters: int, eps: float, min_eig_floor: float = 1e-4,
@@ -57,25 +86,16 @@ def _track_level(
     """
     H, W = prev_img.shape
     r = win // 2
-    offs = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-r, r + 1, dtype=pts_prev.dtype),
-            jnp.arange(-r, r + 1, dtype=pts_prev.dtype),
-            indexing="xy",
-        ),
-        axis=-1,
-    ).reshape(-1, 2)  # (win*win, 2) [x,y]
+    win_area = win * win
 
     def per_point(pt, g0, ok):
-        grid_t = pt[None, :] + offs
-        T = _bilinear(prev_img, grid_t)
-        Ix = _bilinear(prev_ix, grid_t)
-        Iy = _bilinear(prev_iy, grid_t)
+        T = _sample_window(prev_img, pt, win)
+        Ix = _sample_window(prev_ix, pt, win)
+        Iy = _sample_window(prev_iy, pt, win)
         gxx = jnp.sum(Ix * Ix)
         gxy = jnp.sum(Ix * Iy)
         gyy = jnp.sum(Iy * Iy)
         det = gxx * gyy - gxy * gxy
-        win_area = offs.shape[0]
         cond_ok = (gxx + gyy) > 0
         small_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy * gxy))
         cond_ok = cond_ok & (small_eig / win_area > min_eig_floor) & (det > 1e-12)
@@ -86,26 +106,133 @@ def _track_level(
         )
 
         def body(i, carry):
-            g, conv = carry
-            grid_n = g[None, :] + offs
-            J = _bilinear(next_img, grid_n)
+            g, conv, lost = carry
+            # when the iterate's window leaves the image, stop updating
+            # (a border-clamped window samples a shifted patch and the
+            # iteration diverges); cv::calcOpticalFlowPyrLK likewise
+            # breaks out, zeroing status only at the final level
+            inb = ((g[0] >= r) & (g[0] < W - r) & (g[1] >= r) & (g[1] < H - r))
+            lost = lost | ~inb
+            J = _sample_window(next_img, g, win)
             diff = J - T
             bx = jnp.sum(diff * Ix)
             by = jnp.sum(diff * Iy)
             dx = -(gyy * bx - gxy * by) * inv_det
             dy = -(-gxy * bx + gxx * by) * inv_det
             d = jnp.stack([dx, dy])
-            g_new = jnp.where(conv, g, g + d)
+            g_new = jnp.where(conv | lost, g, g + d)
             conv = conv | (jnp.sum(d * d) < eps * eps)
-            return g_new, conv
+            return g_new, conv, lost
 
-        g_fin, _ = jax.lax.fori_loop(0, iters, body, (g0, jnp.asarray(False)))
+        g_fin, _, lost = jax.lax.fori_loop(
+            0, iters, body, (g0, jnp.asarray(False), jnp.asarray(False)))
         good_here = cond_ok & in_bounds0
         g_fin = jnp.where(ok & good_here, g_fin, g0)
-        ok_out = (ok & good_here) if final else ok
+        ok_out = (ok & good_here & ~lost) if final else ok
         return g_fin, ok_out
 
     return jax.vmap(per_point)(pts_prev, guess, valid)
+
+
+SEARCH = 64  # search-block side of the MXU level tracker
+
+
+def _track_level_mxu(
+    prev_img, prev_ix, prev_iy, next_img, pts_prev, guess, valid,
+    win: int, iters: int, eps: float, min_eig_floor: float = 1e-4,
+    final: bool = False, search: int = SEARCH,
+):
+    """TPU-fast level tracker: per point, ONE (SEARCH,SEARCH) block is
+    sliced around the initial guess, then every LK iteration samples its
+    (win,win) window as R·S·Cᵀ where R/C are hat-function (linear
+    interpolation) selector matrices — bilinear sampling as two batched
+    matmuls on the MXU, zero gathers inside the iteration loop. The
+    iterate is confined to its search block; points that would drift
+    further are the ones the displacement/round-trip gates reject
+    anyway (reference opencv_image.cpp:117-141)."""
+    H, W = prev_img.shape
+    r = win // 2
+    blk = win + 1
+    dt = prev_img.dtype
+
+    def gather_block(g0):
+        cx = jnp.clip(jnp.floor(g0[0]).astype(jnp.int32) - search // 2, 0,
+                      max(W - search, 0))
+        cy = jnp.clip(jnp.floor(g0[1]).astype(jnp.int32) - search // 2, 0,
+                      max(H - search, 0))
+        S = jax.lax.dynamic_slice(next_img, (cy, cx), (min(search, H), min(search, W)))
+        if S.shape != (search, search):  # small pyramid level: pad
+            S = jnp.pad(S, ((0, search - S.shape[0]), (0, search - S.shape[1])))
+        return S, cx.astype(dt), cy.astype(dt)
+
+    S_all, jx0, jy0 = jax.vmap(gather_block)(guess)
+
+    def per_point_setup(pt):
+        T = _sample_window(prev_img, pt, win)
+        Ix = _sample_window(prev_ix, pt, win)
+        Iy = _sample_window(prev_iy, pt, win)
+        return T, Ix, Iy
+
+    T, Ix, Iy = jax.vmap(per_point_setup)(pts_prev)
+    gxx = jnp.sum(Ix * Ix, axis=(1, 2))
+    gxy = jnp.sum(Ix * Iy, axis=(1, 2))
+    gyy = jnp.sum(Iy * Iy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    small_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy * gxy))
+    cond_ok = ((gxx + gyy) > 0) & (small_eig / (win * win) > min_eig_floor) \
+        & (det > 1e-12)
+    inv_det = jnp.where(det > 1e-12, 1.0 / jnp.where(det > 0, det, 1.0), 0.0)
+    in_bounds0 = ((pts_prev[:, 0] >= r) & (pts_prev[:, 0] < W - r)
+                  & (pts_prev[:, 1] >= r) & (pts_prev[:, 1] < H - r))
+
+    lmax = float(search - win - 1)
+    taps = jnp.arange(win, dtype=dt)          # (win,)
+    grid = jnp.arange(search, dtype=dt)       # (search,)
+
+    def hat_sel(start):
+        """(N,win,SEARCH) linear-interp selector: row r has weights
+        hat(grid - (start + r))."""
+        pos = start[:, None] + taps[None, :]            # (N,win)
+        d = jnp.abs(grid[None, None, :] - pos[..., None])
+        return jnp.maximum(0.0, 1.0 - d).astype(dt)
+
+    lx0 = guess[:, 0] - jx0
+    ly0 = guess[:, 1] - jy0
+
+    def body(i, carry):
+        lx, ly, conv = carry
+        cx = jnp.clip(lx - r, 0.0, lmax)
+        cy = jnp.clip(ly - r, 0.0, lmax)
+        R = hat_sel(cy)                                  # rows  (N,win,S)
+        C = hat_sel(cx)                                  # cols  (N,win,S)
+        J = jnp.einsum("nrs,nst,nct->nrc", R, S_all, C,
+                       preferred_element_type=dt)
+        diff = J - T
+        bx = jnp.sum(diff * Ix, axis=(1, 2))
+        by = jnp.sum(diff * Iy, axis=(1, 2))
+        dx = -(gyy * bx - gxy * by) * inv_det
+        dy = -(-gxy * bx + gxx * by) * inv_det
+        lx_n = jnp.where(conv, lx, lx + dx)
+        ly_n = jnp.where(conv, ly, ly + dy)
+        conv = conv | ((dx * dx + dy * dy) < eps * eps)
+        return lx_n, ly_n, conv
+
+    lx, ly, _ = jax.lax.fori_loop(
+        0, iters, body, (lx0, ly0, jnp.zeros(guess.shape[0], bool)))
+
+    good = cond_ok & in_bounds0
+    use = valid & good
+    g_fin = jnp.stack([jnp.where(use, lx + jx0, guess[:, 0]),
+                       jnp.where(use, ly + jy0, guess[:, 1])], axis=-1)
+    ok_out = use if final else valid
+    return g_fin, ok_out
+
+
+def _use_mxu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def lk_flow(
@@ -113,19 +240,31 @@ def lk_flow(
     win: int = 21, iters: int = 30, eps: float = 0.01,
 ):
     """Multi-level forward LK. pts are base-level pixel coords (N,2);
-    `pts_init` seeds the flow (OPTFLOW_USE_INITIAL_FLOW)."""
+    `pts_init` seeds the flow (OPTFLOW_USE_INITIAL_FLOW). On TPU the
+    per-level refinement runs as the Pallas kernel
+    (klt_pallas.track_level_pallas); elsewhere the XLA path."""
     levels = len(prev_pyr)
     scale_top = float(2 ** (levels - 1))
     guess = pts_init / scale_top
     valid = valid_in
+    mxu = _use_mxu()
     for lev in range(levels - 1, -1, -1):
         s = float(2**lev)
         prev_img = prev_pyr[lev]
         ix, iy = img_ops.scharr(prev_img)
-        guess, valid = _track_level(
-            prev_img, ix, iy, next_pyr[lev], pts_prev / s, guess, valid,
-            win=win, iters=iters, eps=eps, final=(lev == 0),
-        )
+        if mxu:
+            # top level absorbs the (gyro-)prediction error → wide
+            # search block; lower levels are seeded within ~2 px
+            guess, valid = _track_level_mxu(
+                prev_img, ix, iy, next_pyr[lev], pts_prev / s, guess, valid,
+                win=win, iters=iters, eps=eps, final=(lev == 0),
+                search=SEARCH if lev == levels - 1 else 32,
+            )
+        else:
+            guess, valid = _track_level(
+                prev_img, ix, iy, next_pyr[lev], pts_prev / s, guess, valid,
+                win=win, iters=iters, eps=eps, final=(lev == 0),
+            )
         if lev > 0:
             guess = guess * 2.0
     return guess, valid

@@ -256,19 +256,29 @@ class KLTFeatureTracker(FeatureTrackerBase):
         free = C - len(used)
         if free <= 0:
             return
-        preset = np.zeros((C, 2), dtype=np.float32)
-        preset_valid = np.zeros((C,), dtype=bool)
-        preset[:len(used)] = frame._pts[used]
-        preset_valid[:len(used)] = True
+        # GFTT candidates on device; spacing suppression on host (the
+        # native grid filter — a long sequential scan is the one part
+        # of detection that does not belong on the accelerator)
+        cand, resp, cvalid = img_ops.gftt_candidates(
+            frame._pyr[0], max_candidates=1024, quality_level=1e-3,
+            border=20)
+        cand = np.asarray(cand)
+        resp = np.asarray(resp)
+        cvalid = np.asarray(cvalid)
 
-        pts, ok = img_ops.detect_keypoints(
-            frame._pyr[0],
-            jnp.asarray(preset), jnp.asarray(preset_valid),
-            max_points=cfg.feature_tracker_max_keypoint_detection,
-            min_distance=cfg.feature_tracker_min_keypoint_distance,
-            quality_level=1e-3, border=20)
-        pts = np.asarray(pts)
-        ok = np.asarray(ok)
+        n_pre = len(used)
+        all_pts = np.concatenate([frame._pts[used], cand], axis=0)
+        keep_ok = np.concatenate([np.ones(n_pre, bool), cvalid])
+        # presets first (existing keypoints always win), then candidates
+        # in response order (gftt candidates are sorted descending)
+        order = np.arange(len(all_pts))
+        accept = _poisson_accept(
+            all_pts, order, keep_ok,
+            cfg.feature_tracker_min_keypoint_distance)
+        sel = np.nonzero(accept[n_pre:])[0]
+        sel = sel[:cfg.feature_tracker_max_keypoint_detection]
+        pts = cand[sel]
+        ok = np.ones(len(sel), dtype=bool)
 
         Kinv = np.linalg.inv(frame.K)
         slot = len(used)

@@ -86,6 +86,15 @@ class Config:
     initializer_min_landmarks: int = 30
     initializer_refine_imu: bool = True
 
+    # --- camera-rate visual PnP pose path (the reference's iOS-only
+    # high-rate path, compile-time gated by XRSLAM_IOS:
+    # feature_tracker.cpp:95-112 synchronize_keymap/solve_pnp; here a
+    # runtime flag). Combined with sliding_window_tracker_frequent > 1
+    # it publishes camera-rate poses while the window BA runs at a
+    # reduced rate.
+    visual_pnp_enable: bool = False
+    visual_pnp_min_landmarks: int = 8
+
     # --- visual localization (config.cpp:54-58) ---
     visual_localization_enable: bool = False
     visual_localization_config_ip: str = "0.0.0.0"
@@ -200,6 +209,11 @@ def load_config(slam_yaml: str, device_yaml: str) -> Config:
     for n in ["parsac_flag", "dynamic_probability", "threshold", "norm_scale", "keyframe_check_size"]:
         if n in par:
             kw["parsac_flag" if n == "parsac_flag" else f"parsac_{n}"] = par[n]
+    vpnp = slam.get("visual_pnp", {})
+    if "enable" in vpnp:
+        kw["visual_pnp_enable"] = bool(vpnp["enable"])
+    if "min_landmarks" in vpnp:
+        kw["visual_pnp_min_landmarks"] = int(vpnp["min_landmarks"])
     loc = slam.get("visual_localization", {})
     for n in ["enable", "ip", "port"]:
         if n in loc:

@@ -71,6 +71,10 @@ class VIOPipeline:
         # forward-propagation state (detail.cpp propagate_state)
         self._prop: Optional[dict] = None
         self._imu_since_opt: List[tuple] = []
+        # camera-rate PnP path: tracker-track-id -> landmark world point
+        # (the reference's "keymap" mirror of the backend map,
+        # feature_tracker.cpp:167-248 synchronize_keymap/mirror_map)
+        self._keymap: dict = {}
         # boundary-sample bookkeeping (see _flush_frames)
         self._last_frame_t: Optional[float] = None
         self._last_taken: Optional[tuple] = None
@@ -191,8 +195,18 @@ class VIOPipeline:
 
     # ------------------------------------------------------------------
     def _process_frame(self, frame: FrameRec):
+        # backend decimation (reference feature_tracker.cpp:47-49
+        # slidind_window_frame_tag): every frame is tracked, but only
+        # every Nth frame detects new keypoints and reaches the window
+        # backend; always on while initializing
+        issue_tag = (self.swt is None or
+                     frame.id % self.config.sliding_window_tracker_frequent == 0)
+        frame._detect_tag = issue_tag
         self.tracker_map.attach_frame(frame)
         self.tracker.track_frame(self.tracker_map, frame)
+
+        if self.swt is not None and self.config.visual_pnp_enable:
+            self._solve_pnp_highrate(frame)
 
         # trim tracker map (reference feature_tracker.cpp map upkeep)
         cap = (self.config.feature_tracker_max_frames if self.swt
@@ -200,7 +214,8 @@ class VIOPipeline:
         while len(self.tracker_map.frames) > cap:
             self.tracker_map.detach_frame(0)
 
-        self._issue_frame(frame)
+        if issue_tag:
+            self._issue_frame(frame)
 
     def _issue_frame(self, frame: FrameRec):
         """reference frontend_worker.cpp:28-86."""
@@ -225,11 +240,88 @@ class VIOPipeline:
         self._prop = dict(t=t, q=q.copy(), p=p.copy(), v=v.copy(),
                           bg=bg.copy(), ba=ba.copy())
         self._imu_since_opt = [s for s in self._imu_since_opt if s[0] > t]
+        if self.config.visual_pnp_enable:
+            self._refresh_keymap()
+
+    # ------------------------------------------------------------------
+    # camera-rate visual PnP pose path (reference feature_tracker.cpp
+    # :95-112 XRSLAM_IOS branch; SURVEY.md §3.4)
+    # ------------------------------------------------------------------
+    def _refresh_keymap(self):
+        """Mirror the backend's triangulated landmarks into a
+        tracker-track-id -> world-point table (the reference's keymap
+        re-sync after each backend iteration, synchronize_keymap
+        feature_tracker.cpp:167-248 / frontend_worker.cpp:38-43)."""
+        keymap = {}
+        swt_map = self.swt.map
+        tframes = {f.id: f for f in self.tracker_map.frames}
+        for sf in swt_map.all_frames():
+            tf = tframes.get(sf.id)
+            if tf is None:
+                continue
+            for k in np.nonzero(sf.track_ids >= 0)[0]:
+                wtr = swt_map.tracks.get(int(sf.track_ids[k]))
+                if (wtr is None or not (wtr.valid and wtr.triangulated)
+                        or wtr.p_w is None or wtr.outlier):
+                    continue
+                ttid = int(tf.track_ids[k])
+                if ttid >= 0:
+                    keymap[ttid] = wtr.p_w
+        self._keymap = keymap
+
+    def _solve_pnp_highrate(self, frame: FrameRec):
+        """Pose-only PnP of the newest tracked frame against the keymap
+        landmarks, published as the latest output state (reference
+        attach_latest_frame + solve_pnp, feature_tracker.cpp:250-298;
+        we actually run the solve the reference omits — see
+        ransac.pnp.refine_pose_pnp)."""
+        from ..ransac import pnp as pnp_mod
+
+        cfg = self.config
+        prop = self._propagate_full(frame.t)
+        if prop is None:
+            return
+        t_prop, q_b, p_b, v_b = prop
+        C = frame.track_ids.shape[0]
+        X = np.zeros((C, 3))
+        valid = np.zeros((C,), dtype=bool)
+        for k in np.nonzero(frame.track_ids >= 0)[0]:
+            p_w = self._keymap.get(int(frame.track_ids[k]))
+            if p_w is not None:
+                X[k] = p_w
+                valid[k] = True
+        if valid.sum() < cfg.visual_pnp_min_landmarks:
+            return
+        q_wc = nputil.quat_mul(q_b, frame.q_bc)
+        p_wc = p_b + nputil.quat_rotate(q_b, frame.p_bc)
+        q_wc2, p_wc2 = pnp_mod.refine_pose_pnp(
+            q_wc, p_wc, X, frame.bearings, valid, frame.sqrt_inv_cov2,
+            iters=cfg.solver_iteration_limit)
+        q_wc2 = np.asarray(q_wc2)
+        p_wc2 = np.asarray(p_wc2)
+        q_b2 = nputil.quat_normalize(
+            nputil.quat_mul(q_wc2, nputil.quat_conj(frame.q_bc)))
+        p_b2 = p_wc2 - nputil.quat_rotate(q_b2, frame.p_bc)
+        frame.q, frame.p, frame.v = q_b2, p_b2, v_b.copy()
+        s = self._prop
+        self._prop = dict(t=frame.t, q=q_b2, p=p_b2, v=v_b,
+                          bg=s["bg"].copy(), ba=s["ba"].copy())
+        self._imu_since_opt = [x for x in self._imu_since_opt if x[0] > frame.t]
 
     # ------------------------------------------------------------------
     def predict_pose(self, t: float) -> Optional[OutputPose]:
         """IMU-forward pose at time t from the last optimized state
         (reference detail.cpp:144-177) — the low-latency output path."""
+        prop = self._propagate_full(t)
+        if prop is None:
+            return None
+        t_cur, q, p, _ = prop
+        return OutputPose(t=t_cur, q=q, p=p)
+
+    def _propagate_full(self, t: float):
+        """Forward-propagate (q, p, v) to time t from the last optimized
+        state (reference propagate_state, detail.cpp:15-28). Returns
+        (t_reached, q, p, v) or None before initialization."""
         if self._prop is None:
             return None
         s = self._prop
@@ -246,7 +338,7 @@ class VIOPipeline:
             q = nputil.quat_normalize(
                 nputil.quat_mul(q, nputil.expmap((w - bg) * dt)))
             t_cur = ti
-        return OutputPose(t=t_cur, q=q, p=p)
+        return t_cur, q, p, v
 
     # ------------------------------------------------------------------
     @property

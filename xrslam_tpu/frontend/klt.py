@@ -199,14 +199,20 @@ def _track_level_mxu(
     lx0 = guess[:, 0] - jx0
     ly0 = guess[:, 1] - jy0
 
-    def body(i, carry):
-        lx, ly, conv = carry
+    # points whose system is unusable never converge by the step-size
+    # test; mark them converged up front so they can't stall the
+    # all-converged early exit below
+    dead = ~(cond_ok & in_bounds0 & valid)
+
+    def body(carry):
+        i, lx, ly, conv = carry
         cx = jnp.clip(lx - r, 0.0, lmax)
         cy = jnp.clip(ly - r, 0.0, lmax)
         R = hat_sel(cy)                                  # rows  (N,win,S)
         C = hat_sel(cx)                                  # cols  (N,win,S)
-        J = jnp.einsum("nrs,nst,nct->nrc", R, S_all, C,
-                       preferred_element_type=dt)
+        J = jnp.einsum("nrs,nst,nct->nrc",
+                       R.astype(mm_dt), S_mm, C.astype(mm_dt),
+                       preferred_element_type=dt).astype(dt)
         diff = J - T
         bx = jnp.sum(diff * Ix, axis=(1, 2))
         by = jnp.sum(diff * Iy, axis=(1, 2))
@@ -215,10 +221,15 @@ def _track_level_mxu(
         lx_n = jnp.where(conv, lx, lx + dx)
         ly_n = jnp.where(conv, ly, ly + dy)
         conv = conv | ((dx * dx + dy * dy) < eps * eps)
-        return lx_n, ly_n, conv
+        return i + 1, lx_n, ly_n, conv
 
-    lx, ly, _ = jax.lax.fori_loop(
-        0, iters, body, (lx0, ly0, jnp.zeros(guess.shape[0], bool)))
+    # while_loop instead of a fixed-trip fori: identical iterates (a
+    # converged point never moves again), but the whole batch stops as
+    # soon as every live point has converged — on gyro-seeded frames
+    # that is typically well under the 30-iteration cap
+    _, lx, ly, _ = jax.lax.while_loop(
+        lambda c: (c[0] < iters) & ~jnp.all(c[3]),
+        body, (jnp.asarray(0, jnp.int32), lx0, ly0, dead))
 
     good = cond_ok & in_bounds0
     use = valid & good

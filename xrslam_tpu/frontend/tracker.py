@@ -119,7 +119,10 @@ class KLTFeatureTracker(FeatureTrackerBase):
         if prev is not None and prev.n_keypoints() > 0 and hasattr(prev, "_pyr"):
             self._track_from(tracker_map, prev, frame)
 
-        self._detect_new(tracker_map, frame)
+        # detection only on frames issued to the backend (reference
+        # slidind_window_frame_tag gate, feature_tracker.cpp:128-129)
+        if getattr(frame, "_detect_tag", True):
+            self._detect_new(tracker_map, frame)
 
         if prev is not None and hasattr(prev, "_pyr"):
             del prev._pyr  # release_image_buffer

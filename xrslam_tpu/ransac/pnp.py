@@ -124,3 +124,76 @@ def find_pnp_matrix_parsac_imu(key, X, x, lens, prior_T, bin_conf,
     return parsac.imu_parsac(key, solver, evaluator, (X, x), x, lens,
                              prior_T, bin_conf, dynamic_prob, N, 6, thr,
                              valid=valid, norm_scale=norm_scale, n_hyp=n_hyp)
+
+
+def refine_pose_pnp(q_wc, p_wc, X, bearings, valid, sqrt_inv_cov2,
+                    iters: int = 10, damping: float = 1e-6):
+    """Pose-only robust Gauss-Newton against known 3D landmarks: the
+    camera-rate "visual PnP" solve of the reference's high-rate pose
+    path (reference xrslam/src/xrslam/core/feature_tracker.cpp:282-298
+    FeatureTracker::solve_pnp — which assembles reprojection *prior*
+    factors, Cauchy(1.0) loss, over the latest frame's pose states; note
+    the reference builds the Ceres problem but omits the solve() call,
+    so its published pose degrades to the IMU prediction — we implement
+    the evidently intended solve).
+
+    Residual model matches CeresReprojectionPriorFactor
+    (estimation/ceres/reprojection_factor.h:102-131): for each observed
+    unit bearing b with landmark X, r = W · Tb(b)ᵀ · normalize(R_wcᵀ(X −
+    p_wc)), with Tb the S² tangential basis of b and W the K-scaled
+    pixel-noise whitening. IRLS with Cauchy(1.0) weights
+    (solver.cpp:36). Pose increment q ⊞ δθ = q·exp(δθ) (the quaternion
+    parameterization of ceres/quaternion_parameterization.h:11-31).
+
+    Args: q_wc (4,) camera-to-world [w,x,y,z]; p_wc (3,); X (N,3) world
+    points; bearings (N,3) observed unit bearings (camera frame); valid
+    (N,) bool; sqrt_inv_cov2 (2,2). Returns (q_wc, p_wc) refined.
+    """
+    from ..geometry import lie
+
+    dt = X.dtype
+    tb = lie.s2_tangential_basis(bearings)          # (N,3,2)
+    nvalid = jnp.maximum(jnp.sum(valid), 1)
+
+    def residuals(q, p):
+        y = quat_rotate_inv_rows(q, X - p)          # (N,3) camera coords
+        yn = y / jnp.clip(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+        u = jnp.einsum("nij,nj->ni", jnp.swapaxes(tb, 1, 2), yn)  # (N,2)
+        r = u @ sqrt_inv_cov2.T
+        return jnp.where(valid[:, None], r, 0.0)
+
+    def step(_, qp):
+        q, p = qp
+
+        def r_of(delta):
+            dq = lie.expmap(delta[:3])
+            return residuals(lie.quat_normalize(lie.quat_mul(q, dq)),
+                             p + delta[3:]).reshape(-1)
+
+        r = r_of(jnp.zeros((6,), dtype=dt))
+        J = jax.jacfwd(r_of)(jnp.zeros((6,), dtype=dt))  # (2N,6)
+        # Cauchy(1.0) IRLS weight per observation (2 residual rows each)
+        r2 = jnp.sum(r.reshape(-1, 2) ** 2, axis=-1)
+        w = 1.0 / (1.0 + r2)
+        w2 = jnp.sqrt(jnp.repeat(w, 2))
+        Jw = J * w2[:, None]
+        rw = r * w2
+        H = Jw.T @ Jw + damping * jnp.eye(6, dtype=dt)
+        g = Jw.T @ rw
+        delta = -jnp.linalg.solve(H, g)
+        q = lie.quat_normalize(lie.quat_mul(q, lie.expmap(delta[:3])))
+        p = p + delta[3:]
+        return (q, p)
+
+    q, p = jax.lax.fori_loop(0, iters, step, (jnp.asarray(q_wc, dt),
+                                              jnp.asarray(p_wc, dt)))
+    del nvalid
+    return q, p
+
+
+def quat_rotate_inv_rows(q, v):
+    """Rotate rows v (N,3) by q⁻¹ (q (4,) [w,x,y,z])."""
+    from ..geometry import lie
+
+    R = lie.quat_to_matrix(q)
+    return v @ R

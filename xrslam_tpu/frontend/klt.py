@@ -136,6 +136,15 @@ def _track_level(
 
 SEARCH = 64  # search-block side of the MXU level tracker
 
+# Run the selector·block·selectorᵀ window-sampling einsums of
+# _track_level_mxu in bfloat16 (f32 accumulation via
+# preferred_element_type). The MXU runs bf16 at ~2x the f32 rate; the
+# inputs are an image block in [0,255] and hat weights in [0,1], so the
+# ~0.4% bf16 quantization perturbs the sampled window by well under the
+# image noise the 0.5 px round-trip gate already absorbs. Flip to False
+# to force full f32 (A/B: _ab_klt.py).
+MM_BF16 = True
+
 
 def _track_level_mxu(
     prev_img, prev_ix, prev_iy, next_img, pts_prev, guess, valid,
@@ -198,6 +207,9 @@ def _track_level_mxu(
 
     lx0 = guess[:, 0] - jx0
     ly0 = guess[:, 1] - jy0
+
+    mm_dt = jnp.bfloat16 if (MM_BF16 and dt == jnp.float32) else dt
+    S_mm = S_all.astype(mm_dt)
 
     # points whose system is unusable never converge by the step-size
     # test; mark them converged up front so they can't stall the

@@ -129,9 +129,11 @@ def _track_level(
         good_here = cond_ok & in_bounds0
         g_fin = jnp.where(ok & good_here, g_fin, g0)
         ok_out = (ok & good_here & ~lost) if final else ok
-        return g_fin, ok_out
+        err = jnp.mean(jnp.abs(_sample_window(next_img, g_fin, win) - T))
+        return g_fin, ok_out, err
 
-    return jax.vmap(per_point)(pts_prev, guess, valid)
+    g, ok, err = jax.vmap(per_point)(pts_prev, guess, valid)
+    return g, ok, (err if final else jnp.zeros_like(err))
 
 
 SEARCH = 64  # search-block side of the MXU level tracker
@@ -144,6 +146,11 @@ SEARCH = 64  # search-block side of the MXU level tracker
 # image noise the 0.5 px round-trip gate already absorbs. Flip to False
 # to force full f32 (A/B: _ab_klt.py).
 MM_BF16 = True
+
+# Run the reverse-consistency pass at pyramid level 0 only (see
+# track_keypoints). Flip to False to force the full-pyramid reverse
+# pass of cv::calcOpticalFlowPyrLK.
+BWD_LEVEL0 = True
 
 
 def _track_level_mxu(
@@ -248,7 +255,20 @@ def _track_level_mxu(
     g_fin = jnp.stack([jnp.where(use, lx + jx0, guess[:, 0]),
                        jnp.where(use, ly + jy0, guess[:, 1])], axis=-1)
     ok_out = use if final else valid
-    return g_fin, ok_out
+    if final:
+        # final template residual (cv::calcOpticalFlowPyrLK's `err`
+        # output: mean |window difference| at the converged position) —
+        # one extra window-sampling einsum
+        cx = jnp.clip(lx - r, 0.0, lmax)
+        cy = jnp.clip(ly - r, 0.0, lmax)
+        J = jnp.einsum("nrs,nst,nct->nrc",
+                       hat_sel(cy).astype(mm_dt), S_mm,
+                       hat_sel(cx).astype(mm_dt),
+                       preferred_element_type=dt).astype(dt)
+        err = jnp.mean(jnp.abs(J - T), axis=(1, 2))
+    else:
+        err = jnp.zeros(g_fin.shape[0], dt)
+    return g_fin, ok_out, err
 
 
 def _use_mxu() -> bool:
@@ -261,6 +281,7 @@ def _use_mxu() -> bool:
 def lk_flow(
     prev_pyr, next_pyr, pts_prev, pts_init, valid_in,
     win: int = 21, iters: int = 30, eps: float = 0.01,
+    search_top: int = SEARCH,
 ):
     """Multi-level forward LK. pts are base-level pixel coords (N,2);
     `pts_init` seeds the flow (OPTFLOW_USE_INITIAL_FLOW). On TPU the
@@ -270,6 +291,7 @@ def lk_flow(
     scale_top = float(2 ** (levels - 1))
     guess = pts_init / scale_top
     valid = valid_in
+    err = jnp.zeros(pts_prev.shape[0], prev_pyr[0].dtype)
     mxu = _use_mxu()
     for lev in range(levels - 1, -1, -1):
         s = float(2**lev)
@@ -278,19 +300,19 @@ def lk_flow(
         if mxu:
             # top level absorbs the (gyro-)prediction error → wide
             # search block; lower levels are seeded within ~2 px
-            guess, valid = _track_level_mxu(
+            guess, valid, err = _track_level_mxu(
                 prev_img, ix, iy, next_pyr[lev], pts_prev / s, guess, valid,
                 win=win, iters=iters, eps=eps, final=(lev == 0),
-                search=SEARCH if lev == levels - 1 else 32,
+                search=search_top if lev == levels - 1 else 32,
             )
         else:
-            guess, valid = _track_level(
+            guess, valid, err = _track_level(
                 prev_img, ix, iy, next_pyr[lev], pts_prev / s, guess, valid,
                 win=win, iters=iters, eps=eps, final=(lev == 0),
             )
         if lev > 0:
             guess = guess * 2.0
-    return guess, valid
+    return guess, valid, err
 
 
 @partial(jax.jit, static_argnames=("win", "iters", "border"))
@@ -298,6 +320,7 @@ def track_keypoints(
     prev_pyr, next_pyr, pts_prev, pts_init, valid_in,
     win: int = 21, iters: int = 30, eps: float = 0.01,
     border: int = 20, reverse_thresh: float = 0.5,
+    max_residual: float = 25.0,
 ):
     """Forward+backward pyramidal LK with the reference's gates
     (opencv_image.cpp:75-154):
@@ -305,21 +328,37 @@ def track_keypoints(
       - 20 px border rejection,
       - displacement > rows/4 rejection,
       - backward track seeded with the original points; reject if the
-        round trip misses by > 0.5 px.
+        round trip misses by > 0.5 px,
+      - template-residual gate: reject if the converged forward window
+        differs from the template by > max_residual mean intensity
+        (cv::calcOpticalFlowPyrLK's `err`; catches occlusion/appearance
+        change that a zero-motion round trip cannot).
 
     Returns (pts_next (N,2), status (N,) bool).
     """
     H, W = prev_pyr[0].shape
-    fwd, st = lk_flow(prev_pyr, next_pyr, pts_prev, pts_init, valid_in, win, iters, eps)
+    fwd, st, err = lk_flow(prev_pyr, next_pyr, pts_prev, pts_init, valid_in, win, iters, eps)
 
     inb = (
         (fwd[:, 0] >= border) & (fwd[:, 0] < W - border)
         & (fwd[:, 1] >= border) & (fwd[:, 1] < H - border)
     )
     disp = jnp.linalg.norm(fwd - pts_prev, axis=-1)
-    st = st & inb & (disp <= H / 4.0)
+    st = st & inb & (disp <= H / 4.0) & (err <= max_residual)
 
-    bwd, st_b = lk_flow(next_pyr, prev_pyr, fwd, pts_prev, st, win, iters, eps)
+    # The reverse pass is seeded at the ORIGINAL points (reference
+    # opencv_image.cpp:116-121), so for a good forward track its flow
+    # from seed is ~0: the coarse pyramid levels (there to absorb large
+    # unknown motion) contribute nothing. Run it at level 0 only with a
+    # small search block — a bad forward track whose true inverse flow
+    # exceeds the block can't walk back within 0.5 px, so it fails the
+    # round-trip gate exactly as a full-pyramid reverse pass would.
+    bwd, st_b, _ = lk_flow(
+        next_pyr[:1] if BWD_LEVEL0 else next_pyr,
+        prev_pyr[:1] if BWD_LEVEL0 else prev_pyr,
+        fwd, pts_prev, st, win, iters, eps,
+        search_top=32 if BWD_LEVEL0 else SEARCH,
+    )
     round_trip = jnp.linalg.norm(bwd - pts_prev, axis=-1)
     st = st & st_b & (round_trip <= reverse_thresh)
     pts_next = jnp.where(st[:, None], fwd, pts_init)

@@ -148,3 +148,95 @@ def test_find_rotation_matrix():
     )
     np.testing.assert_allclose(np.asarray(Rest), np.asarray(R), atol=1e-8)
     assert np.asarray(mask)[~np.asarray(is_out)].all()
+
+
+def _dynamic_object_scene(key, n_static=100, n_obj=130):
+    """Two-view scene with a rigidly-moving object: static points spread
+    over the image, object points clustered in one corner and moving
+    with their own transform so they are consistent with a *different*
+    essential matrix. The object set is the larger one, so count-based
+    RANSAC prefers the wrong model; PARSAC's coverage score must not."""
+    k1, k2 = jax.random.split(key)
+    Xs = jax.random.uniform(k1, (n_static, 3), minval=-2.0, maxval=2.0
+                            ).at[:, 2].add(6.0)
+    # object: world points in a narrow frustum (projects to one corner)
+    Xo = jax.random.uniform(k2, (n_obj, 3), minval=2.0, maxval=3.2
+                            ).at[:, 2].add(3.0)
+    R = lie.quat_to_matrix(lie.expmap(jnp.asarray([0.05, -0.02, 0.03],
+                                                  dtype=jnp.float64)))
+    t = jnp.asarray([0.5, 0.1, -0.1], dtype=jnp.float64)
+    # object's own rigid motion in the world between the two views
+    Ro = lie.quat_to_matrix(lie.expmap(jnp.asarray([-0.04, 0.08, 0.02],
+                                                   dtype=jnp.float64)))
+    to = jnp.asarray([-0.3, 0.25, 0.15], dtype=jnp.float64)
+    X = jnp.concatenate([Xs, Xo], axis=0)
+    X2s = Xs @ R.T + t
+    X2o = (Xo @ Ro.T + to) @ R.T + t
+    X2 = jnp.concatenate([X2s, X2o], axis=0)
+    p1 = X[:, :2] / X[:, 2:3]
+    p2 = X2[:, :2] / X2[:, 2:3]
+    is_obj = jnp.arange(n_static + n_obj) >= n_static
+    return p1, p2, R, t, is_obj
+
+
+def test_essential_parsac_beats_ransac_on_clustered_object():
+    """The RD-VIO motivation scene (reference stereo.cpp:124-155 +
+    parsac.h ComputeScore): a dominant clustered dynamic object must not
+    win the model selection under PARSAC's spatial-coverage score, while
+    plain count-based RANSAC picks it."""
+    p1, p2, R, t, is_obj = _dynamic_object_scene(jax.random.PRNGKey(20))
+    x1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=-1)
+    x2 = jnp.concatenate([p2, jnp.ones_like(p2[:, :1])], axis=-1)
+    obj = np.asarray(is_obj)
+
+    # plain RANSAC picks the (larger) object set
+    _, mask_r, _ = stereo_mod.find_essential_matrix(
+        jax.random.PRNGKey(21), x1, x2, threshold=1.0 / 500.0, n_hyp=64)
+    mask_r = np.asarray(mask_r)
+    assert mask_r[obj].mean() > mask_r[~obj].mean()
+
+    # PARSAC picks the spatially-spread static set
+    conf0 = parsac_mod.initial_bin_confidences(jnp.float64)
+    E, mask_p, count, conf = stereo_mod.find_essential_matrix_parsac(
+        jax.random.PRNGKey(22), x1, x2, conf0,
+        threshold=1.0 / 500.0, norm_scale=2.0, n_hyp=64)
+    mask_p = np.asarray(mask_p)
+    assert mask_p[~obj].mean() > 0.9
+    assert mask_p[obj].mean() < 0.2
+    from xrslam_tpu.geometry.essential import essential_geometric_error
+    errs = np.asarray(essential_geometric_error(E, x1, x2))
+    assert np.median(errs[~obj]) < 1e-10
+    # bin-confidence state updated: bins with data get score-implied conf
+    conf = np.asarray(conf)
+    assert conf.shape == (400,)
+    assert (conf > 0).any()
+
+
+def test_homography_parsac_planar():
+    """find_homography_matrix_parsac (reference stereo.cpp:157-183):
+    recovers the plane homography under clustered outliers and returns
+    updated bin confidences."""
+    key = jax.random.PRNGKey(24)
+    k1, k2 = jax.random.split(key)
+    Xxy = jax.random.uniform(k1, (80, 2), minval=-2.0, maxval=2.0)
+    X = jnp.concatenate([Xxy, jnp.full((80, 1), 5.0)], axis=-1)
+    R = lie.quat_to_matrix(lie.expmap(jnp.asarray([0.05, -0.02, 0.1],
+                                                  dtype=jnp.float64)))
+    t = jnp.asarray([0.3, -0.1, 0.2], dtype=jnp.float64)
+    X2 = X @ R.T + t
+    p1 = X[:, :2] / X[:, 2:3]
+    p2 = X2[:, :2] / X2[:, 2:3]
+    noise = jax.random.uniform(k2, (80, 2), minval=-0.3, maxval=0.3)
+    noise = jnp.sign(noise) * (0.05 + jnp.abs(noise))
+    is_out = jnp.arange(80) < 12
+    p2n = jnp.where(is_out[:, None], p2 + noise, p2)
+    conf0 = parsac_mod.initial_bin_confidences(jnp.float64)
+    H, mask, count, conf = stereo_mod.find_homography_matrix_parsac(
+        jax.random.PRNGKey(25), p1, p2n, conf0,
+        threshold=1.0 / 500.0, n_hyp=64)
+    from xrslam_tpu.geometry.homography import homography_geometric_error
+    errs = np.asarray(homography_geometric_error(H, p1, p2))
+    out = np.asarray(is_out)
+    assert np.median(errs[~out]) < 1e-10
+    assert np.asarray(mask)[~out].mean() > 0.95
+    assert np.asarray(conf).shape == (400,)

@@ -78,6 +78,10 @@ class VIOPipeline:
         # boundary-sample bookkeeping (see _flush_frames)
         self._last_frame_t: Optional[float] = None
         self._last_taken: Optional[tuple] = None
+        # per-pipeline frame counter for backend decimation (the
+        # reference counts frames, feature_tracker.cpp:47-49; frame ids
+        # are globally monotonic and would alias across instances)
+        self._frame_count: int = 0
 
     # ------------------------------------------------------------------
     # IMU ingestion (reference detail.cpp:46-101)
@@ -200,7 +204,8 @@ class VIOPipeline:
         # every Nth frame detects new keypoints and reaches the window
         # backend; always on while initializing
         issue_tag = (self.swt is None or
-                     frame.id % self.config.sliding_window_tracker_frequent == 0)
+                     self._frame_count % self.config.sliding_window_tracker_frequent == 0)
+        self._frame_count += 1
         frame._detect_tag = issue_tag
         self.tracker_map.attach_frame(frame)
         self.tracker.track_frame(self.tracker_map, frame)

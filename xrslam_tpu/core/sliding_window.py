@@ -54,9 +54,16 @@ class SlidingWindowTracker:
         self.K_sub = 11  # keyframe + up to 10 subframes (rotation case)
         self.marg: Optional[MargPrior] = None
         self.bin_conf = parsac_mod.initial_bin_confidences(jnp.float64)
+        # separate persistent bin state for the 2D-2D essential PARSAC
+        # (the reference keeps a distinct function-static vector,
+        # stereo.cpp:146-151)
+        self.bin_conf_2d2d = parsac_mod.initial_bin_confidences(jnp.float64)
         self._rng = np.random.default_rng(config.random)
         self._key = jax.random.PRNGKey(config.random)
         self.m_th: float = 0.0
+        # tracker-map handle for static-tag cross-propagation
+        # (reference sliding_window_tracker.cpp:771-789)
+        self._tracker_map: Optional[PipelineMap] = None
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -81,6 +88,7 @@ class SlidingWindowTracker:
         IMU samples of skipped frames, extend tracks that continue from
         the window's latest frame, integrate + predict
         (reference :31-80)."""
+        self._tracker_map = tracker_map
         frame_i = self.last_frame_chain()
         idx_i = tracker_map.frame_index_by_id(frame_i.id)
         idx_j = tracker_map.frame_index_by_id(frame_id)
@@ -501,7 +509,6 @@ class SlidingWindowTracker:
         R_cu = nputil.quat_to_matrix(q_wc)
         Rrel = R_cu.T @ R_kf          # kf cam -> cur cam
         trel = R_cu.T @ (p_kfc - p_wc)
-        E = nputil.quat_to_matrix(np.array([1.0, 0, 0, 0]))  # placeholder
         tx = np.array([[0, -trel[2], trel[1]],
                        [trel[2], 0, -trel[0]],
                        [-trel[1], trel[0], 0]])
@@ -545,8 +552,15 @@ class SlidingWindowTracker:
         return True
 
     def update_track_status(self):
-        """2D-2D PARSAC vs recent keyframes; tracks consistently flagged
-        as outliers lose TT_STATIC (reference :741-790)."""
+        """2D-2D essential PARSAC vs recent keyframes; tracks
+        consistently flagged as outliers lose TT_STATIC, and the static
+        status is cross-propagated both ways between the window track
+        and the tracker-map track (reference :741-790). Note: the
+        reference's final loop looks up `old_frame` (a tracker-map
+        frame) inside the *window-side* track's keypoint map, which can
+        never match across maps — so upstream the un-static'ing and
+        propagation are inert; we implement the documented intent
+        (RD-VIO paper Sec. IV-B) instead."""
         curr = self.map.frames[-1]
         n_check = self.config.parsac_keyframe_check_size
         start = max(len(self.map.frames) - 1 - n_check, 0)
@@ -577,16 +591,29 @@ class SlidingWindowTracker:
             a2[:nn, :2] = np.stack(p2)[:nn]
             vv = np.zeros((N_CAP,), dtype=bool)
             vv[:nn] = True
-            thr = (self.m_th if self.m_th > 0 else 1.0) / fr.K[0, 0]
-            _, mask, _ = stereo_mod.find_essential_matrix(
+            # m_th was established by judge_track_status (track() only
+            # calls us after it returns True), matching the reference's
+            # filter_parsac_2d2d threshold m_th/K(0,0) (:545)
+            thr = self.m_th / fr.K[0, 0]
+            _, mask, _, self.bin_conf_2d2d = stereo_mod.find_essential_matrix_parsac(
                 self._next_key(), jnp.asarray(a1), jnp.asarray(a2),
-                valid=jnp.asarray(vv), threshold=thr, n_hyp=32,
+                self.bin_conf_2d2d, valid=jnp.asarray(vv), threshold=thr,
+                norm_scale=self.config.parsac_norm_scale, n_hyp=32,
             )
             mask = np.asarray(mask)
             for j in range(nn):
                 match_cnt[idxs[j]] += 1
                 if not mask[j]:
                     outlier_cnt[idxs[j]] += 1
+
+        # tracker-map frame with the same id: window frames are clones,
+        # so keypoint indices align 1:1
+        old_frame = None
+        if self._tracker_map is not None:
+            oi = self._tracker_map.frame_index_by_id(curr.id)
+            if oi is not None:
+                old_frame = self._tracker_map.frames[oi]
+
         outlier_th = len(self.map.frames) // 2
         for k in np.nonzero(curr.track_ids >= 0)[0]:
             tr = self.map.tracks.get(int(curr.track_ids[k]))
@@ -594,3 +621,10 @@ class SlidingWindowTracker:
                 continue
             if outlier_cnt[k] > outlier_th / 2 and outlier_cnt[k] > 0.8 * match_cnt[k]:
                 tr.static = False
+            # static-tag cross-propagation window <-> tracker map
+            # (reference :771-789 intent)
+            if old_frame is not None and old_frame.track_ids[k] >= 0:
+                old_tr = self._tracker_map.tracks.get(int(old_frame.track_ids[k]))
+                if old_tr is not None and (not old_tr.static or not tr.static):
+                    tr.static = False
+                    old_tr.static = False

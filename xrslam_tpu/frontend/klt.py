@@ -285,8 +285,8 @@ def lk_flow(
 ):
     """Multi-level forward LK. pts are base-level pixel coords (N,2);
     `pts_init` seeds the flow (OPTFLOW_USE_INITIAL_FLOW). On TPU the
-    per-level refinement runs as the Pallas kernel
-    (klt_pallas.track_level_pallas); elsewhere the XLA path."""
+    per-level refinement runs as hat-selector matmuls over a search
+    block (_track_level_mxu); elsewhere the gather-based XLA path."""
     levels = len(prev_pyr)
     scale_top = float(2 ** (levels - 1))
     guess = pts_init / scale_top

@@ -153,7 +153,6 @@ def refine_pose_pnp(q_wc, p_wc, X, bearings, valid, sqrt_inv_cov2,
 
     dt = X.dtype
     tb = lie.s2_tangential_basis(bearings)          # (N,3,2)
-    nvalid = jnp.maximum(jnp.sum(valid), 1)
 
     def residuals(q, p):
         y = quat_rotate_inv_rows(q, X - p)          # (N,3) camera coords
@@ -187,7 +186,6 @@ def refine_pose_pnp(q_wc, p_wc, X, bearings, valid, sqrt_inv_cov2,
 
     q, p = jax.lax.fori_loop(0, iters, step, (jnp.asarray(q_wc, dt),
                                               jnp.asarray(p_wc, dt)))
-    del nvalid
     return q, p
 
 

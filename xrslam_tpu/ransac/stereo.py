@@ -19,6 +19,7 @@ from ..geometry import essential as ess
 from ..geometry import homography as homo
 from ..geometry import wahba
 from . import core
+from . import parsac as parsac_mod
 
 CHI2_1DOF = 3.84
 CHI2_2DOF = 5.99
@@ -72,6 +73,58 @@ def find_homography_matrix(key, p1, p2, valid=None, threshold: float = 1.0,
     errors = jax.vmap(errs)(Hs)
     best, mask, count = core.select_best(errors, thr, valid)
     return Hs[best], mask, count
+
+
+def find_essential_matrix_parsac(key, x1, x2, bin_conf, valid=None,
+                                 threshold: float = 1.0,
+                                 norm_scale: float = 1.0, n_hyp: int = 64):
+    """PARSAC 5-pt essential (reference stereo.cpp:124-155): same
+    minimal solver/evaluator as `find_essential_matrix` but with
+    spatial-bin-confidence weighted sampling and coverage scoring; the
+    reference keeps the 400 bin confidences in a function-static vector
+    — here they are explicit state. x1, x2: (N,3) homogeneous z=1
+    points; binning uses x2's normalized-plane coordinates. Returns
+    (E, inlier_mask, count, new_bin_conf)."""
+    N = x1.shape[0]
+    thr = 2.0 * CHI2_1DOF * threshold * threshold
+
+    def solver(idx, x1, x2):
+        return ess.solve_essential_5pt(x1[idx], x2[idx])  # ((R,3,3),(R,))
+
+    def evaluator(m, x1, x2):
+        E, rv = m
+        errs = jax.vmap(
+            lambda Ei: ess.essential_geometric_error(Ei, x1, x2)
+            + ess.essential_geometric_error(jnp.swapaxes(Ei, -1, -2), x2, x1)
+        )(E)
+        return jnp.where(rv[:, None], errs, jnp.inf)
+
+    model, mask, count, new_conf = parsac_mod.parsac(
+        key, solver, evaluator, (x1, x2), x2[..., :2], bin_conf, N, 5, thr,
+        valid=valid, norm_scale=norm_scale, n_hyp=n_hyp)
+    return model[0], mask, count, new_conf
+
+
+def find_homography_matrix_parsac(key, p1, p2, bin_conf, valid=None,
+                                  threshold: float = 1.0,
+                                  norm_scale: float = 1.0, n_hyp: int = 128):
+    """PARSAC 4-pt homography (reference stereo.cpp:157-183). p1, p2:
+    (N,2) normalized-plane points. Returns (H, inlier_mask, count,
+    new_bin_conf)."""
+    N = p1.shape[0]
+    thr = 2.0 * CHI2_2DOF * threshold * threshold
+
+    def solver(idx, p1, p2):
+        return homo.solve_homography_4pt(p1[idx], p2[idx])
+
+    def evaluator(H, p1, p2):
+        Hi = jnp.linalg.inv(H)
+        return homo.homography_geometric_error(H, p1, p2) + \
+            homo.homography_geometric_error(Hi, p2, p1)
+
+    return parsac_mod.parsac(
+        key, solver, evaluator, (p1, p2), p2, bin_conf, N, 4, thr,
+        valid=valid, norm_scale=norm_scale, n_hyp=n_hyp)
 
 
 def find_rotation_matrix(key, b1, b2, valid=None, threshold: float = 1.0,

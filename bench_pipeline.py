@@ -1,0 +1,73 @@
+"""Pipeline benchmark: the REAL sequence drive, end to end.
+
+Unlike bench.py (per-frame kernel composite), this renders a synthetic
+EuRoC-layout dataset once and drives the full stack — PNG decode →
+reader → api.XRSLAM → CLAHE/GFTT/KLT → initializer → sliding window →
+marginalization → TUM/ATE — on the default backend (the TPU when run
+bare), reporting steady-state sequence fps and the per-stage timing
+breakdown (reference inspection items feature_tracker_time /
+bundle_adjustor_solve_time / bundle_adjustor_marginalization_time,
+include/xrslam/inspection.h:53-55).
+
+Pass 1 warms every jit cache; pass 2 is the timed run. Baseline: the
+reference plays EuRoC in real time on CPU at the 20 Hz camera rate.
+
+Prints ONE JSON line.
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--landmarks", type=int, default=500)
+    ap.add_argument("--dir", default="/tmp/xrslam_bench_seq")
+    ap.add_argument("--passes", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    from xrslam_tpu.config import load_config
+    from xrslam_tpu.tools.make_dataset import render_dataset
+    from xrslam_tpu.tools.run_dataset import evaluate_ate, run_sequence
+    from xrslam_tpu.utils import timing
+
+    tag = os.path.join(args.dir, f"ok_{args.frames}_{args.landmarks}")
+    if not os.path.exists(tag):
+        paths = render_dataset(args.dir, n_frames=args.frames,
+                               n_landmarks=args.landmarks)
+        with open(tag, "w") as f:
+            f.write("1")
+    root = os.path.join(args.dir, "mav0")
+    config = load_config(os.path.join(args.dir, "slam.yaml"),
+                         os.path.join(args.dir, "device.yaml"))
+
+    uri = "euroc://" + root
+    result = None
+    for p in range(args.passes):
+        timing.reset_timings()
+        t0 = time.perf_counter()
+        ts, qs, ps = run_sequence(uri, config, async_reader=False)
+        dt = time.perf_counter() - t0
+        result = (ts, ps, dt)
+    ts, ps, dt = result
+
+    fps = args.frames / dt
+    ate = evaluate_ate(root, ts, ps) if len(ts) else float("nan")
+    print(json.dumps({
+        "metric": "pipeline_frames_per_s",
+        "value": round(fps, 2),
+        "unit": f"frames/s (full sequence drive, {args.frames} frames, "
+                "320x240, image KLT frontend + init + SWT + marg)",
+        "vs_baseline": round(fps / 20.0, 2),
+        "frames_tracked": len(ts),
+        "ate_rmse_m": round(float(ate), 4),
+        "timings_ms": {k: round(v * 1e3, 2)
+                       for k, v in sorted(timing.timings().items())},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..config import Config
+from ..utils.timing import stage_timer
 from . import nputil
 from .initializer import Initializer
 from .map import FrameRec, PipelineMap, new_frame_id
@@ -208,7 +209,8 @@ class VIOPipeline:
         self._frame_count += 1
         frame._detect_tag = issue_tag
         self.tracker_map.attach_frame(frame)
-        self.tracker.track_frame(self.tracker_map, frame)
+        with stage_timer("feature_tracker_time"):
+            self.tracker.track_frame(self.tracker_map, frame)
 
         if self.swt is not None and self.config.visual_pnp_enable:
             self._solve_pnp_highrate(frame)
@@ -355,10 +357,21 @@ class SyntheticTracker(FeatureTrackerBase):
     """Stub feature tracker fed by ground-truth correspondences
     (SURVEY.md §7 minimum end-to-end slice): the frame's `_hint` array
     holds a persistent synthetic track id per keypoint slot; keypoints
-    sharing an id across frames join the same map track."""
+    sharing an id across frames join the same map track.
 
-    def __init__(self):
+    With a `config`, it also runs the same FT_NO_TRANSLATION detector as
+    the image tracker (rotation RANSAC + misalignment percentile,
+    reference frame.cpp:115-134) over the matched bearings, so
+    bearing-level e2e tests exercise the pure-rotation subframe
+    machine."""
+
+    def __init__(self, config: Optional[Config] = None):
         self._id_map = {}
+        self._prev: Optional[FrameRec] = None
+        self.config = config
+        import jax as _jax
+
+        self._key = _jax.random.PRNGKey(0 if config is None else config.random)
 
     def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
         hint = getattr(frame, "_hint", None)
@@ -374,3 +387,29 @@ class SyntheticTracker(FeatureTrackerBase):
             else:
                 tracker_map.add_observation(tr, frame, int(k))
             tr.life += 1
+
+        prev = self._prev
+        if self.config is not None and prev is not None:
+            from ..frontend.tracker import detect_no_translation
+            import jax as _jax
+
+            C = frame.bearings.shape[0]
+            bp = np.zeros((C, 3))
+            bp[:, 2] = 1.0
+            bn = bp.copy()
+            valid = np.zeros((C,), dtype=bool)
+            i = 0
+            for k in np.nonzero(frame.track_ids >= 0)[0]:
+                tr = tracker_map.tracks.get(int(frame.track_ids[k]))
+                kp = tr.obs.get(prev.id) if tr is not None else None
+                if kp is None:
+                    continue
+                bp[i] = prev.bearings[kp]
+                bn[i] = frame.bearings[k]
+                valid[i] = True
+                i += 1
+            if valid.sum() >= 8:
+                self._key, sk = _jax.random.split(self._key)
+                if detect_no_translation(sk, bp, bn, valid, self.config):
+                    frame.no_translation = True
+        self._prev = frame

@@ -32,6 +32,7 @@ from ..imu import preintegration as pre
 from ..ransac import parsac as parsac_mod
 from ..ransac import pnp as pnp_mod
 from ..ransac import stereo as stereo_mod
+from ..utils.timing import stage_timer
 from . import nputil
 from .map import FrameRec, PipelineMap
 from .window_builder import (
@@ -49,7 +50,11 @@ class SlidingWindowTracker:
             cov_bg=jnp.asarray(config.gyroscope_bias_noise_cov),
             cov_ba=jnp.asarray(config.accelerometer_bias_noise_cov),
         )
-        self.K_slots = config.sliding_window_size + 1
+        # +2: a subframe lift (manage_keyframe rotation cases) inserts an
+        # extra keyframe in the same step that attached the new frame,
+        # so the window briefly holds size+2 frames before slide_window
+        # trims it (reference grows the Ceres problem dynamically)
+        self.K_slots = config.sliding_window_size + 2
         self.L_slots = config.window_landmark_slots
         self.K_sub = 11  # keyframe + up to 10 subframes (rotation case)
         self.marg: Optional[MargPrior] = None
@@ -64,6 +69,14 @@ class SlidingWindowTracker:
         # tracker-map handle for static-tag cross-propagation
         # (reference sliding_window_tracker.cpp:771-789)
         self._tracker_map: Optional[PipelineMap] = None
+        # event counters for inspection + the RD-VIO e2e proofs
+        self.stats = {
+            "subframe_lifts": 0,       # rotation/translation lift cases
+            "rotation_subframes": 0,   # frames kept as rotation subframes
+            "rotation_merges": 0,      # 3->1 subframe compressions
+            "rotation_solves": 0,      # rotation-only refine_subwindow runs
+            "tracks_unstatic": 0,      # tracks losing TT_STATIC via PARSAC
+        }
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -160,15 +173,20 @@ class SlidingWindowTracker:
     # ------------------------------------------------------------------
     def track(self) -> bool:
         if self.config.parsac_flag:
-            if self.judge_track_status():
-                self.update_track_status()
-        self.localize_newframe()
+            with stage_timer("parsac_time"):
+                if self.judge_track_status():
+                    self.update_track_status()
+        with stage_timer("localize_newframe_time"):
+            self.localize_newframe()
         if self.manage_keyframe():
             self.track_landmark()
-            self.refine_window()
-            self.slide_window()
+            with stage_timer("bundle_adjustor_solve_time"):
+                self.refine_window()
+            with stage_timer("bundle_adjustor_marginalization_time"):
+                self.slide_window()
         else:
-            self.refine_subwindow()
+            with stage_timer("subwindow_solve_time"):
+                self.refine_subwindow()
         return True
 
     # ------------------------------------------------------------------
@@ -228,6 +246,7 @@ class SlidingWindowTracker:
                     lifted.keyframe = True
                     self.map.attach_frame(lifted, len(self.map.frames) - 1)
                     new_j.keyframe = True
+                    self.stats["subframe_lifts"] += 1
                     return True
             else:
                 if new_j.no_translation:
@@ -238,6 +257,7 @@ class SlidingWindowTracker:
                     nj = self.map.detach_frame(len(self.map.frames) - 1)
                     lifted.subframes.append(nj)
                     self.map.attach_frame(lifted)
+                    self.stats["subframe_lifts"] += 1
                     return True
                 else:
                     if len(kf_i.subframes) >= cfg.sliding_window_subframe_size:
@@ -253,6 +273,8 @@ class SlidingWindowTracker:
             new_j.keyframe = True
             return True
         sub = self.map.detach_frame(len(self.map.frames) - 1)
+        if sub.no_translation:
+            self.stats["rotation_subframes"] += 1
         kf_i.subframes.append(sub)
         # re-index: detach removed obs; restore them under the subframe
         for k in np.nonzero(sub.track_ids >= 0)[0]:
@@ -383,6 +405,7 @@ class SlidingWindowTracker:
 
         if rotation_mode and len(kf.subframes) >= 9:
             # compress: merge each group of 3 into its last frame
+            self.stats["rotation_merges"] += 1
             groups = len(kf.subframes) // 3
             merged = []
             for g in range(groups):
@@ -449,6 +472,7 @@ class SlidingWindowTracker:
             obs_rot = obs & keep & rot_mask[None, :]
             obs_rep = obs & keep & tri[None, :]
             data_r = data_r._replace(obs_mask=jnp.asarray(obs_rep | obs_rot))
+            self.stats["rotation_solves"] += 1
             st, _ = solve_window(state, data_r, opts)
         else:
             data_r = data._replace(fix_landmark=jnp.asarray(fix_lm))
@@ -539,16 +563,35 @@ class SlidingWindowTracker:
         if th2 < th1 * 2:
             return False  # ambiguous
         self.m_th = 0.5 * (th1 + th2)
+        # tracker-map twin of curr (same id, same keypoint layout) so
+        # the fresh per-frame verdict refreshes BOTH sides; without the
+        # positive (inlier -> static) direction, one false PnP rejection
+        # would ratchet a static track non-static forever through the
+        # cross-propagation in update_track_status
+        old_frame = None
+        if self._tracker_map is not None:
+            oi = self._tracker_map.frame_index_by_id(curr.id)
+            if oi is not None:
+                old_frame = self._tracker_map.frames[oi]
         for i, k in enumerate(kps[:n]):
             tr = self.map.tracks.get(int(curr.track_ids[k]))
             if tr is None:
                 continue
+            old_tr = None
+            if old_frame is not None and old_frame.track_ids[k] >= 0:
+                old_tr = self._tracker_map.tracks.get(int(old_frame.track_ids[k]))
             if mask[i]:
                 tr.outlier = False
                 tr.static = True
+                if old_tr is not None:
+                    old_tr.static = True
             else:
                 tr.outlier = True
+                if tr.static:
+                    self.stats["tracks_unstatic"] += 1
                 tr.static = False
+                if old_tr is not None:
+                    old_tr.static = False
         return True
 
     def update_track_status(self):
@@ -620,6 +663,8 @@ class SlidingWindowTracker:
             if tr is None:
                 continue
             if outlier_cnt[k] > outlier_th / 2 and outlier_cnt[k] > 0.8 * match_cnt[k]:
+                if tr.static:
+                    self.stats["tracks_unstatic"] += 1
                 tr.static = False
             # static-tag cross-propagation window <-> tracker map
             # (reference :771-789 intent)

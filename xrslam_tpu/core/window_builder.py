@@ -114,6 +114,20 @@ def extract_window(
       frame j, i.e. consecutive map frames),
     - frame fix flags are taken from the FrameRec tags.
     """
+    from ..utils.timing import stage_timer
+
+    with stage_timer("window_extract_time"):
+        return _extract_window_impl(
+            pmap, frames, K_slots, L_slots, noise, track_filter,
+            anchor_must_be_in_window, imu_cap, with_preint,
+            all_frames_between, dtype)
+
+
+def _extract_window_impl(
+    pmap, frames, K_slots, L_slots, noise, track_filter,
+    anchor_must_be_in_window, imu_cap, with_preint,
+    all_frames_between, dtype,
+):
     K = len(frames)
     assert K <= K_slots
     fid_to_slot = {f.id: i for i, f in enumerate(frames)}
@@ -264,6 +278,14 @@ def write_back(pmap: PipelineMap, state: WindowState, data: WindowData,
                meta: WindowMeta, write_landmarks: bool = True,
                frame_subset: Optional[set] = None):
     """Push optimized states back into the map."""
+    from ..utils.timing import stage_timer
+
+    with stage_timer("window_write_time"):
+        _write_back_impl(pmap, state, data, meta, write_landmarks,
+                         frame_subset)
+
+
+def _write_back_impl(pmap, state, data, meta, write_landmarks, frame_subset):
     qs = np.asarray(state.q)
     ps = np.asarray(state.p)
     vs = np.asarray(state.v)

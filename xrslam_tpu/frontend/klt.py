@@ -271,11 +271,20 @@ def _track_level_mxu(
     return g_fin, ok_out, err
 
 
-def _use_mxu() -> bool:
+def _lk_backend() -> str:
+    """Level-tracker backend: "mxu" (hat-selector matmuls — the winner
+    of the TPU A/B, see bench.py), "pallas" (klt_pallas per-point VMEM
+    kernel, kept A/B-able via XR_LK_BACKEND=pallas), or "xla" (the
+    gather-based path, CPU default)."""
+    import os
+
+    forced = os.environ.get("XR_LK_BACKEND")
+    if forced in ("mxu", "pallas", "xla"):
+        return forced
     try:
-        return jax.default_backend() == "tpu"
+        return "mxu" if jax.default_backend() == "tpu" else "xla"
     except Exception:  # pragma: no cover
-        return False
+        return "xla"
 
 
 def lk_flow(
@@ -292,12 +301,12 @@ def lk_flow(
     guess = pts_init / scale_top
     valid = valid_in
     err = jnp.zeros(pts_prev.shape[0], prev_pyr[0].dtype)
-    mxu = _use_mxu()
+    backend = _lk_backend()
     for lev in range(levels - 1, -1, -1):
         s = float(2**lev)
         prev_img = prev_pyr[lev]
         ix, iy = img_ops.scharr(prev_img)
-        if mxu:
+        if backend == "mxu":
             # top level absorbs the (gyro-)prediction error → wide
             # search block; lower levels are seeded within ~2 px
             guess, valid, err = _track_level_mxu(
@@ -305,6 +314,18 @@ def lk_flow(
                 win=win, iters=iters, eps=eps, final=(lev == 0),
                 search=search_top if lev == levels - 1 else 32,
             )
+        elif backend == "pallas":
+            from . import klt_pallas
+
+            guess, valid = klt_pallas.track_level_pallas(
+                prev_img, ix, iy, next_pyr[lev], pts_prev / s, guess, valid,
+                win=win, iters=iters, eps=eps, final=(lev == 0),
+            )
+            if lev == 0:
+                err = jax.vmap(
+                    lambda g, p: jnp.mean(jnp.abs(
+                        _sample_window(next_pyr[0], g, win)
+                        - _sample_window(prev_pyr[0], p, win))))(guess, pts_prev)
         else:
             guess, valid, err = _track_level(
                 prev_img, ix, iy, next_pyr[lev], pts_prev / s, guess, valid,

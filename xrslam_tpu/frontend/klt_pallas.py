@@ -100,17 +100,29 @@ def _kernel(pts_ref, guess_ref, valid_ref,     # SMEM scalars
     lx0 = gx0 - jx0f
     ly0 = gy0 - jy0f
     lmin = jnp.asarray(0.0, px.dtype)
-    lmax = jnp.asarray(float(SEARCH - blk), px.dtype)
+    lmax = jnp.asarray(float(SEARCH - win - 1), px.dtype)
+
+    dt = px.dtype
+    # iota must be integer-typed on TPU; cast after
+    tap_ids = jax.lax.broadcasted_iota(jnp.int32, (win, SEARCH), 0).astype(dt)
+    grid_ids = jax.lax.broadcasted_iota(jnp.int32, (win, SEARCH), 1).astype(dt)
+
+    def hat_sel(start):
+        """(win, SEARCH) linear-interpolation selector: row r weights
+        hat(grid − (start + r)). Sampling the window becomes
+        R·S·Cᵀ — two small MXU matmuls with NO dynamic slicing (Mosaic
+        requires dynamic lane-dim offsets to be 128-multiples, which
+        the iterate's sub-pixel position is not)."""
+        return jnp.maximum(0.0, 1.0 - jnp.abs(grid_ids - (start + tap_ids)))
 
     def body(_, carry):
         lx, ly, conv = carry
         cx = jnp.clip(lx - r, lmin, lmax)
         cy = jnp.clip(ly - r, lmin, lmax)
-        ixx = jnp.floor(cx).astype(jnp.int32)
-        iyy = jnp.floor(cy).astype(jnp.int32)
-        fx = cx - ixx.astype(px.dtype)
-        fy = cy - iyy.astype(py.dtype)
-        Jw = _blend(j_s[pl.ds(iyy, blk), pl.ds(ixx, blk)], fx, fy, win)
+        R = hat_sel(cy)
+        C = hat_sel(cx)
+        Jw = jnp.dot(jnp.dot(R, j_s[:, :], preferred_element_type=dt),
+                     C.T, preferred_element_type=dt)
         diff = Jw - T
         bx = jnp.sum(diff * Ix)
         by = jnp.sum(diff * Iy)
@@ -126,9 +138,9 @@ def _kernel(pts_ref, guess_ref, valid_ref,     # SMEM scalars
 
     good = cond_ok & in_bounds0
     use = ok_in & good
-    gout_ref[0, 0] = jnp.where(use, lx + jx0f, gx0)
-    gout_ref[0, 1] = jnp.where(use, ly + jy0f, gy0)
-    okout_ref[0, 0] = jnp.where(use if final else ok_in, 1, 0).astype(jnp.int32)
+    gout_ref[i, 0] = jnp.where(use, lx + jx0f, gx0)
+    gout_ref[i, 1] = jnp.where(use, ly + jy0f, gy0)
+    okout_ref[i, 0] = jnp.where(use if final else ok_in, 1, 0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "eps",
@@ -160,8 +172,11 @@ def track_level_pallas(prev_img, prev_ix, prev_iy, next_img,
             pl.BlockSpec(memory_space=pltpu.ANY),    # next
         ],
         out_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            # unblocked SMEM outputs: every program sees the full (N,2)/
+            # (N,1) array and writes only its own row i (blocked (1,2)
+            # specs violate the (8,128) tiling constraint when lowered)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, 2), dtype),

@@ -37,6 +37,7 @@ from ..core import nputil
 from ..core.detail import FeatureTrackerBase
 from ..core.map import FrameRec, PipelineMap
 from ..ransac import stereo as stereo_mod
+from ..utils import inspection
 from . import image as img_ops
 from . import klt
 
@@ -77,6 +78,28 @@ def _poisson_accept(pts: np.ndarray, order: np.ndarray, keep_ok: np.ndarray,
             accept[i] = True
             grid.setdefault((gx, gy), []).append(i)
     return accept
+
+
+def detect_no_translation(key, bearings_prev, bearings_next, valid, cfg) -> bool:
+    """Pure-rotation (FT_NO_TRANSLATION) detector shared by the image
+    tracker and the synthetic stub: 2-pt rotation RANSAC between the
+    matched bearing sets, then the 70th-percentile rotation-misalignment
+    angle against the config threshold (reference frame.cpp:115-134).
+    bearings_* are fixed-capacity (C,3) unit bearings with `valid`."""
+    R_rot, r_mask, _ = stereo_mod.find_rotation_matrix(
+        key, jnp.asarray(bearings_prev), jnp.asarray(bearings_next),
+        valid=jnp.asarray(valid),
+        threshold=np.pi / 180.0 * cfg.rotation_ransac_threshold)
+    R_rot = np.asarray(R_rot)
+    r_mask = np.asarray(r_mask) & valid
+    if r_mask.sum() > 0:
+        cosang = np.clip(
+            np.sum((bearings_prev @ R_rot.T) * bearings_next, axis=1), -1, 1)
+        angles = np.sort(np.degrees(np.arccos(cosang[r_mask])))
+        misalignment = angles[len(angles) * 7 // 10]
+    else:
+        misalignment = 0.0
+    return misalignment < cfg.rotation_misalignment_threshold
 
 
 class KLTFeatureTracker(FeatureTrackerBase):
@@ -126,6 +149,18 @@ class KLTFeatureTracker(FeatureTrackerBase):
 
         if prev is not None and hasattr(prev, "_pyr"):
             del prev._pyr  # release_image_buffer
+
+        # painter tap (reference InspectPainter, inspection.h:41-57)
+        if inspection.inspect_get(inspection.PAINTER_ENABLE):
+            active = np.nonzero(frame.track_ids >= 0)[0]
+            lengths = np.array([
+                len(t.obs) if (t := tracker_map.get_track(frame, int(k)))
+                else 0 for k in active])
+            inspection.inspect(inspection.PAINTER_FRAME, {
+                "image": image, "pts": frame._pts[active].copy(),
+                "lengths": lengths, "frame_id": frame.id, "t": frame.t,
+            })
+
         frame._image = None
         self._prev = frame
 
@@ -209,19 +244,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
             bp = np.zeros((C, 3))
             bp[:, 2] = 1.0
             bp[:n] = bearings_prev
-            R_rot, r_mask, _ = stereo_mod.find_rotation_matrix(
-                key, jnp.asarray(bp), jnp.asarray(b_next),
-                valid=jnp.asarray(status),
-                threshold=np.pi / 180.0 * cfg.rotation_ransac_threshold)
-            R_rot = np.asarray(R_rot)
-            r_mask = np.asarray(r_mask) & status
-            if r_mask.sum() > 0:
-                cosang = np.clip(np.sum((bp @ R_rot.T) * b_next, axis=1), -1, 1)
-                angles = np.sort(np.degrees(np.arccos(cosang[r_mask])))
-                misalignment = angles[len(angles) * 7 // 10]
-            else:
-                misalignment = 0.0
-            if misalignment < cfg.rotation_misalignment_threshold:
+            if detect_no_translation(key, bp, b_next, status, cfg):
                 frame.no_translation = True
 
         # track-length-priority Poisson re-filter (frame.cpp:137-163)

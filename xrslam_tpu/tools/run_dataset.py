@@ -95,6 +95,9 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int)
     ap.add_argument("--sync", action="store_true",
                     help="disable the async reader thread")
+    ap.add_argument("--viz", metavar="DIR",
+                    help="write per-frame keypoint overlays + a "
+                         "trajectory plot into DIR")
     args = ap.parse_args(argv)
 
     if args.slam_config and args.device_config:
@@ -102,15 +105,29 @@ def main(argv=None):
     else:
         config = Config()
 
+    writer = None
+    if args.viz:
+        from .viz import OverlayWriter
+
+        writer = OverlayWriter(args.viz)
+
     ts, qs, ps = run_sequence(args.dataset, config, tum_out=args.tum,
                               max_frames=args.max_frames,
                               async_reader=not args.sync, progress=True)
     out = {"frames_tracked": len(ts),
            "fps": inspection.inspect_get(inspection.FEATURE_TRACKER_FPS),
            "timings": timings()}
+    gt_p = None
     if args.gt and len(ts):
         seq = args.dataset.split("://", 1)[-1]
         out["ate_rmse_m"] = evaluate_ate(seq, ts, ps)
+        gt_t, gt_p, _ = load_euroc_groundtruth(seq)
+    if writer is not None:
+        writer.close()
+        if len(ts):
+            from .viz import plot_trajectory
+
+            plot_trajectory(f"{args.viz}/trajectory.png", ps, gt_p)
     print(json.dumps(out, default=float))
 
 

@@ -26,6 +26,11 @@ SLIDING_WINDOW_LANDMARKS = "sliding_window_landmarks"
 SLIDING_WINDOW_TRACK_NUM = "sliding_window_track_num"
 CURRENT_BG = "sliding_window_current_bg"
 CURRENT_BA = "sliding_window_current_ba"
+# painter taps (reference InspectPainter, inspection.h:41-57): the
+# tracker publishes a per-frame dict {image, pts, tracked, lengths,
+# frame_id, t} when PAINTER_ENABLE is truthy
+PAINTER_ENABLE = "feature_tracker_painter_enable"
+PAINTER_FRAME = "feature_tracker_painter"
 
 
 class InspectionSupport:

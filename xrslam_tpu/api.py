@@ -100,6 +100,7 @@ class XRSLAM:
         self.pipeline = VIOPipeline(
             config, KLTFeatureTracker(config, capacity=capacity))
         self._cur_image: Optional[tuple] = None
+        self._cur_depth: Optional[tuple] = None
         self._last_output = None
 
     # -- input (reference XRSLAMPushSensorData, XRSLAMInternal.cpp:20) --
@@ -107,6 +108,14 @@ class XRSLAM:
                          data) -> None:
         if sensor_type == SensorType.CAMERA:
             self._cur_image = (float(timestamp), np.asarray(data))
+        elif sensor_type == SensorType.DEPTH_CAMERA:
+            # aligned depth image (XRSLAMDepthImage, XRSLAM.h:56-60):
+            # (H,W) float32 meters (or uint16 millimeters), 0 = invalid;
+            # paired with the next camera frame at a matching timestamp
+            d = np.asarray(data)
+            if d.dtype == np.uint16:
+                d = d.astype(np.float32) / 1000.0
+            self._cur_depth = (float(timestamp), d)
         elif sensor_type == SensorType.GYROSCOPE:
             out = self.pipeline.track_gyroscope(float(timestamp), data)
             self._note_output(out)
@@ -126,7 +135,13 @@ class XRSLAM:
             "push a CAMERA sample before run_one_frame"
         t, img = self._cur_image
         self._cur_image = None
-        self.pipeline.track_camera_image(t, img)
+        depth = None
+        if self._cur_depth is not None:
+            td, d = self._cur_depth
+            if abs(td - t) < 0.02:  # within ~half a 20 Hz frame period
+                depth = d
+            self._cur_depth = None
+        self.pipeline.track_camera_image(t, img, depth=depth)
         out = self.pipeline.predict_pose(self.pipeline.last_imu_t)
         self._note_output(out)
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax
 import numpy as np
 
 from ..config import Config
@@ -142,15 +143,22 @@ class VIOPipeline:
         self._flush_frames()
 
     def track_camera_image(self, t: float, image: np.ndarray,
-                           capacity: int = 256) -> None:
+                           capacity: int = 256,
+                           depth: Optional[np.ndarray] = None) -> None:
         """Push a raw grayscale image ((H,W) float32 in [0,1]); the
         image-based feature tracker (frontend/tracker.py) fills the
         keypoint slots when the frame is processed — the
         XRSLAMPushSensorData(CAMERA) entry of the reference
-        (xrslam-interface XRSLAMInternal.cpp:20, detail.cpp:103-128)."""
+        (xrslam-interface XRSLAMInternal.cpp:20, detail.cpp:103-128).
+
+        `depth` optionally carries an aligned metric depth image
+        ((H,W) float32 meters, 0 = invalid); the tracker samples it at
+        each keypoint into FrameRec.kp_depth for depth-seeded landmark
+        initialization."""
         cap = getattr(self.tracker, "capacity", capacity)
         f = self._make_frame(t, np.zeros((cap, 3), dtype=float))
         f._image = np.asarray(image, dtype=np.float32)
+        f._depth_img = depth
         self.frame_pending.append(f)
         self._flush_frames()
 
@@ -304,8 +312,7 @@ class VIOPipeline:
         q_wc2, p_wc2 = pnp_mod.refine_pose_pnp(
             q_wc, p_wc, X, frame.bearings, valid, frame.sqrt_inv_cov2,
             iters=cfg.solver_iteration_limit)
-        q_wc2 = np.asarray(q_wc2)
-        p_wc2 = np.asarray(p_wc2)
+        q_wc2, p_wc2 = jax.device_get((q_wc2, p_wc2))  # one round trip
         q_b2 = nputil.quat_normalize(
             nputil.quat_mul(q_wc2, nputil.quat_conj(frame.q_bc)))
         p_b2 = p_wc2 - nputil.quat_rotate(q_b2, frame.p_bc)

@@ -124,6 +124,18 @@ class Initializer:
         self.map = None
         return tracker
 
+    @staticmethod
+    def _dbg(msg: str) -> None:
+        """Init-gate trace (XR_DEBUG_INIT=1): which SfM/IMU gate
+        rejected the attempt — the reference logs nothing here, which
+        makes silent init failures painful to diagnose."""
+        import os
+
+        if os.environ.get("XR_DEBUG_INIT"):
+            import sys
+
+            print(f"[init] {msg}", file=sys.stderr)
+
     # ------------------------------------------------------------------
     def init_sfm(self) -> bool:
         cfg = self.config
@@ -132,7 +144,7 @@ class Initializer:
         fj = pmap.frames[-1]
 
         # matches between first and last keyframes
-        m1, m2, tids = [], [], []
+        m1, m2, tids, kis = [], [], [], []
         for ki in np.nonzero(fi.track_ids >= 0)[0]:
             tr = pmap.tracks.get(int(fi.track_ids[ki]))
             if tr is None:
@@ -145,7 +157,9 @@ class Initializer:
             m1.append(b1[:2] / b1[2])
             m2.append(b2[:2] / b2[2])
             tids.append(tr.id)
+            kis.append(int(ki))
         if len(m1) < cfg.initializer_min_matches:
+            self._dbg(f"matches {len(m1)} < {cfg.initializer_min_matches}")
             return False
         m1 = np.stack(m1)
         m2 = np.stack(m2)
@@ -153,6 +167,7 @@ class Initializer:
         # mean pixel parallax gate (reference :185-195)
         par = np.linalg.norm((m1 - m2) * np.array([fu, fv]), axis=1).mean()
         if par < cfg.initializer_min_parallax:
+            self._dbg(f"parallax {par:.2f} < {cfg.initializer_min_parallax}")
             return False
 
         # 8 (R,t) hypotheses from homography + essential (reference :202-222)
@@ -170,6 +185,7 @@ class Initializer:
         )
         RH1, RH2, TH1, TH2, _n1, _n2, pure = homo_mod.decompose_homography(H)
         if bool(pure):
+            self._dbg("homography pure-rotation")
             return False  # pure rotation (reference :206-209)
         Rs, Ts = [], []
         for R, T in ((np.asarray(RH1), np.asarray(TH1)),
@@ -206,7 +222,30 @@ class Initializer:
                     best = (count, score, R, T, pts, status)
         count, _, R, T, pts, status = best
         if count < cfg.initializer_min_triangulation:
+            self._dbg(f"triangulated {count} < {cfg.initializer_min_triangulation}")
             return False
+
+        # depth-camera metric rescale: monocular SfM fixes an arbitrary
+        # scale (‖T‖=1); when the first keyframe carries measured
+        # keypoint depths (XRSLAM_SENSOR_DEPTH_CAMERA), rescale T and
+        # the triangulated points by the median measured/triangulated
+        # depth ratio so the whole init starts metric — init_imu's
+        # scale/gravity solve then refines instead of rediscovering the
+        # scale (faster, and robust on low-parallax starts)
+        if fi.kp_depth is not None:
+            ratios = []
+            for k in range(len(m1)):
+                if not status[k]:
+                    continue
+                zd = float(fi.kp_depth[kis[k]])
+                zt = float(pts[k][2])
+                if zd > 1e-3 and zt > 1e-6:
+                    ratios.append(zd / zt)
+            if len(ratios) >= 5:
+                s = float(np.median(ratios))
+                T = T * s
+                pts = pts * s
+                self._dbg(f"depth rescale x{s:.3f} from {len(ratios)} obs")
 
         # [2.1] first/last poses (camera frame), seed landmarks
         # camera pose i = identity; camera pose j = (R^T, -R^T T)

@@ -81,6 +81,11 @@ class FrameRec:
     fix_pose: bool = False
     fix_motion: bool = False
     subframes: List["FrameRec"] = field(default_factory=list)
+    # per-keypoint metric z-depth (meters, 0 = no measurement) sampled
+    # from an aligned depth image (XRSLAMDepthImage, XRSLAM.h:56-60 —
+    # declared in the reference ABI but dropped by its dispatcher,
+    # XRSLAMInternal.cpp:36-41; we actually consume it)
+    kp_depth: "Optional[np.ndarray]" = None
 
     def n_keypoints(self) -> int:
         return int((self.track_ids >= 0).sum())
@@ -103,6 +108,7 @@ class FrameRec:
             bearings=self.bearings.copy(), track_ids=self.track_ids.copy(),
             imu_t=self.imu_t.copy(), imu_w=self.imu_w.copy(), imu_a=self.imu_a.copy(),
             keyframe=self.keyframe, no_translation=self.no_translation,
+            kp_depth=None if self.kp_depth is None else self.kp_depth.copy(),
         )
 
 

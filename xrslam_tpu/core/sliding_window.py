@@ -161,12 +161,11 @@ class SlidingWindowTracker:
         qj, pj, vj, _, _ = pre.predict(jnp.asarray(q_i), jnp.asarray(p_i),
                                        jnp.asarray(frame_i.v),
                                        jnp.asarray(frame_i.bg), jnp.asarray(frame_i.ba), d)
-        qj = np.asarray(qj)
-        pj = np.asarray(pj)
+        qj, pj, vj = jax.device_get((qj, pj, vj))  # one round trip
         q_b = nputil.quat_normalize(nputil.quat_mul(qj, nputil.quat_conj(frame_j.q_bi)))
         frame_j.q = q_b
         frame_j.p = pj - nputil.quat_rotate(q_b, frame_j.p_bi)
-        frame_j.v = np.asarray(vj)
+        frame_j.v = vj
         frame_j.bg = frame_i.bg.copy()
         frame_j.ba = frame_i.ba.copy()
 
@@ -215,7 +214,7 @@ class SlidingWindowTracker:
         )
         # only the last preint entry (prev -> target) is a factor
         pm = np.zeros((self.K_slots + 2,), dtype=bool)
-        pm[len(wframes) - 1] = bool(np.asarray(data.preint_mask)[len(wframes) - 1])
+        pm[len(wframes) - 1] = bool(meta.preint_mask[len(wframes) - 1])
         data = data._replace(
             preint_mask=jnp.asarray(pm),
             fix_landmark=jnp.ones_like(data.fix_landmark),
@@ -446,12 +445,12 @@ class SlidingWindowTracker:
         )
         # tracks anchored at the (fixed) keyframe act as priors: depth
         # fixed (reference create_reprojection_prior_factor)
-        refs = np.asarray(data.ref_idx)
+        refs = meta.ref_idx
         fix_lm = refs == 0
         if rotation_mode:
             # rotation factors act on untriangulated tracks of the last
             # subframe; triangulated static ones become reproj priors
-            lm_mask = np.asarray(data.landmark_mask)
+            lm_mask = meta.landmark_mask
             tri = np.zeros_like(lm_mask)
             for l, tid in enumerate(meta.track_ids):
                 tr = self.map.tracks.get(tid)
@@ -464,7 +463,7 @@ class SlidingWindowTracker:
             opts = SolveOptions(iterations=self.config.solver_iteration_limit,
                                 use_rotation=True)
             # rotation factors: only last subframe obs of untriangulated
-            obs = np.asarray(data.obs_mask).copy()
+            obs = meta.obs_mask.copy()
             keep = np.zeros_like(obs)
             keep[len(frames) - 1] = obs[len(frames) - 1]
             keep[refs[None, :] == np.arange(self.K_sub)[:, None]] = True
@@ -610,6 +609,10 @@ class SlidingWindowTracker:
         C = curr.track_ids.shape[0]
         outlier_cnt = np.zeros(C, dtype=int)
         match_cnt = np.zeros(C, dtype=int)
+        # dispatch ALL per-keyframe PARSAC calls (bin confidences chain
+        # on-device call to call), then fetch every mask in ONE round
+        # trip — reading each mask separately costs a full tunnel RTT
+        pending = []
         for i in range(start, len(self.map.frames) - 1):
             fr = self.map.frames[i]
             p1, p2, idxs = [], [], []
@@ -643,6 +646,10 @@ class SlidingWindowTracker:
                 self.bin_conf_2d2d, valid=jnp.asarray(vv), threshold=thr,
                 norm_scale=self.config.parsac_norm_scale, n_hyp=32,
             )
+            pending.append((mask, nn, idxs))
+        for mask, nn, idxs in zip(jax.device_get([m for m, _, _ in pending]),
+                                  [nn for _, nn, _ in pending],
+                                  [ix for _, _, ix in pending]):
             mask = np.asarray(mask)
             for j in range(nn):
                 match_cnt[idxs[j]] += 1

@@ -27,11 +27,21 @@ from .map import FrameRec, PipelineMap, TrackRec
 
 @dataclass
 class WindowMeta:
-    """Bookkeeping to write solver results back into the map."""
+    """Bookkeeping to write solver results back into the map.
+
+    Carries host (numpy) twins of the WindowData index/mask arrays the
+    orchestration code branches on: reading them back off the device
+    would cost a full transfer round trip each (the tunneled-TPU RTT is
+    ~25 ms — the dominant per-frame cost, see SURVEY §3.1), and they
+    were built on the host in the first place."""
 
     frames: List[FrameRec]
     track_ids: List[int]          # landmark slot -> track id
     anchor_bearing: np.ndarray    # (L,3) anchor bearings (for p_w writeback)
+    ref_idx: np.ndarray           # (L,) int32 anchor slots
+    landmark_mask: np.ndarray     # (L,) bool
+    obs_mask: np.ndarray          # (K,L) bool
+    preint_mask: np.ndarray       # (K,) bool
 
 
 def interval_samples(frames_between: List[FrameRec], cap: int):
@@ -61,7 +71,26 @@ def interval_samples(frames_between: List[FrameRec], cap: int):
 
 def triangulate_track(tr, frames_by_id) -> Optional[np.ndarray]:
     """Multi-view DLT with cheirality check over all of a track's
-    observing frames (reference map/track.cpp:46-76)."""
+    observing frames (reference map/track.cpp:46-76).
+
+    Depth-camera extension: when any observing frame carries a metric
+    keypoint depth (FrameRec.kp_depth, from XRSLAM_SENSOR_DEPTH_CAMERA
+    input — XRSLAM.h:22,56-60), the landmark is seeded directly from
+    the measured z-depth along the bearing, skipping the two-view
+    requirement and the cheirality gate (a single depth observation
+    fully determines the point)."""
+    for fid, k in tr.obs.items():
+        f = frames_by_id.get(fid)
+        if f is None or f.kp_depth is None:
+            continue
+        z = float(f.kp_depth[k])
+        if z <= 1e-3:
+            continue
+        b = f.bearings[k]
+        x_c = b / b[2] * z
+        q_wc, p_wc = f.camera_pose()
+        return nputil.quat_rotate(q_wc, x_c) + p_wc
+
     rows = []
     Ps = []
     for fid, k in tr.obs.items():
@@ -270,7 +299,9 @@ def _extract_window_impl(
         use_marg=jnp.asarray(False),
     )
     meta = WindowMeta(frames=frames, track_ids=track_ids,
-                      anchor_bearing=anchor_bearing)
+                      anchor_bearing=anchor_bearing,
+                      ref_idx=ref_idx, landmark_mask=lm_mask,
+                      obs_mask=obs_mask, preint_mask=pmask)
     return state, data, meta
 
 
@@ -286,11 +317,13 @@ def write_back(pmap: PipelineMap, state: WindowState, data: WindowData,
 
 
 def _write_back_impl(pmap, state, data, meta, write_landmarks, frame_subset):
-    qs = np.asarray(state.q)
-    ps = np.asarray(state.p)
-    vs = np.asarray(state.v)
-    bgs = np.asarray(state.bg)
-    bas = np.asarray(state.ba)
+    import jax
+
+    # ONE batched device fetch for everything the host needs: each
+    # separate np.asarray of a fresh device buffer costs a full tunnel
+    # round trip; a single device_get of the whole tree costs one.
+    qs, ps, vs, bgs, bas, invd = jax.device_get(
+        (state.q, state.p, state.v, state.bg, state.ba, state.inv_depth))
     for i, f in enumerate(meta.frames):
         if frame_subset is not None and f.id not in frame_subset:
             continue
@@ -304,9 +337,8 @@ def _write_back_impl(pmap, state, data, meta, write_landmarks, frame_subset):
             f.bg = bgs[i].copy()
             f.ba = bas[i].copy()
     if write_landmarks:
-        invd = np.asarray(state.inv_depth)
-        refs = np.asarray(data.ref_idx)
-        lm_ok = np.asarray(data.landmark_mask)
+        refs = meta.ref_idx
+        lm_ok = meta.landmark_mask
         for l, tid in enumerate(meta.track_ids):
             tr = pmap.tracks.get(tid)
             if tr is None or not lm_ok[l]:

@@ -143,9 +143,11 @@ SEARCH = 64  # search-block side of the MXU level tracker
 # preferred_element_type). The MXU runs bf16 at ~2x the f32 rate; the
 # inputs are an image block in [0,255] and hat weights in [0,1], so the
 # ~0.4% bf16 quantization perturbs the sampled window by well under the
-# image noise the 0.5 px round-trip gate already absorbs. Flip to False
-# to force full f32 (A/B: _ab_klt.py).
-MM_BF16 = True
+# image noise the 0.5 px round-trip gate already absorbs. Override with
+# XR_KLT_MM=f32|bf16 (A/B: tools/ab_lk_backend.py).
+import os as _os
+
+MM_BF16 = _os.environ.get("XR_KLT_MM", "bf16") != "f32"
 
 # Run the reverse-consistency pass at pyramid level 0 only (see
 # track_keypoints). Flip to False to force the full-pyramid reverse

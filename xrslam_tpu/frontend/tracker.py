@@ -26,6 +26,7 @@ kernel compiles exactly once per image shape.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -80,6 +81,53 @@ def _poisson_accept(pts: np.ndarray, order: np.ndarray, keep_ok: np.ndarray,
     return accept
 
 
+@partial(jax.jit, static_argnames=("rot_thresh_deg", "mis_thresh_deg"))
+def _post_klt_gates(key, nxt, status, bearings_prev, Kinv,
+                    rot_thresh_deg: float, mis_thresh_deg: float):
+    """Device-side post-KLT gates, fused so the whole frontend step
+    needs ONE host readback (each separate fetch pays the full
+    host<->device round trip):
+
+      - bearing lift of the tracked pixel positions,
+      - essential-matrix RANSAC inlier gate (reference frame.cpp:108-114),
+      - 2-pt rotation RANSAC + 70th-percentile misalignment angle ->
+        FT_NO_TRANSLATION (frame.cpp:115-134), including the percentile
+        selection that previously ran on host.
+
+    Both gates only take effect when >= 8 points survived KLT, matching
+    the host-side `status.sum() >= 8` gate of the reference.
+
+    Returns (b_next (C,3) unit bearings, status_out, no_translation ()).
+    """
+    C = nxt.shape[0]
+    dt = bearings_prev.dtype
+    h = jnp.concatenate([nxt.astype(dt), jnp.ones((C, 1), dt)], axis=1)
+    b = h @ Kinv.T.astype(dt)
+    b_next = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+
+    h_prev = bearings_prev / jnp.clip(bearings_prev[:, 2:3], 1e-9, None)
+    h_next = b / jnp.clip(b[:, 2:3], 1e-9, None)
+    k1, k2 = jax.random.split(key)
+    _, e_mask, _ = stereo_mod.find_essential_matrix(
+        k1, h_prev, h_next, valid=status, threshold=1.0)
+    apply = jnp.sum(status) >= 8
+    st = jnp.where(apply, status & e_mask, status)
+
+    R_rot, r_mask, _ = stereo_mod.find_rotation_matrix(
+        k2, bearings_prev, b_next, valid=st,
+        threshold=np.pi / 180.0 * rot_thresh_deg)
+    r_mask = r_mask & st
+    cosang = jnp.clip(
+        jnp.sum((bearings_prev @ R_rot.T) * b_next, axis=1), -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(cosang))
+    ang_sorted = jnp.sort(jnp.where(r_mask, ang, jnp.inf))
+    m = jnp.sum(r_mask)
+    mis = jnp.where(
+        m > 0, ang_sorted[jnp.clip((m * 7) // 10, 0, C - 1)], 0.0)
+    no_trans = apply & (mis < mis_thresh_deg)
+    return b_next, st, no_trans
+
+
 def detect_no_translation(key, bearings_prev, bearings_next, valid, cfg) -> bool:
     """Pure-rotation (FT_NO_TRANSLATION) detector shared by the image
     tracker and the synthetic stub: 2-pt rotation RANSAC between the
@@ -118,6 +166,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
         self.levels = pyramid_levels
         self._rng = np.random.default_rng(config.random)
         self._prev: Optional[FrameRec] = None
+        self._Kinv_dev = None  # cached device K^-1 (intrinsics are fixed)
 
         cfg = config
         self._preprocess = jax.jit(
@@ -130,6 +179,13 @@ class KLTFeatureTracker(FeatureTrackerBase):
 
     # ------------------------------------------------------------------
     def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
+        """One frame of tracking + detection.
+
+        Structured as dispatch-everything / fetch-once: every device
+        kernel for the frame (pyramid, KLT, RANSAC gates, GFTT) is
+        dispatched asynchronously, then a SINGLE jax.device_get pulls
+        all host-needed results — one transfer round trip per frame
+        instead of ~7 (the tunnel RTT dominates sequence fps)."""
         image = getattr(frame, "_image", None)
         assert image is not None, "KLTFeatureTracker needs frame._image"
         pyr = self._preprocess(jnp.asarray(image, dtype=jnp.float32))
@@ -139,16 +195,44 @@ class KLTFeatureTracker(FeatureTrackerBase):
         H, W = image.shape
 
         prev = self._prev
+        fetch = {}
+        track_ctx = None
         if prev is not None and prev.n_keypoints() > 0 and hasattr(prev, "_pyr"):
-            self._track_from(tracker_map, prev, frame)
+            track_ctx = self._dispatch_track(prev, frame, fetch)
 
         # detection only on frames issued to the backend (reference
         # slidind_window_frame_tag gate, feature_tracker.cpp:128-129)
-        if getattr(frame, "_detect_tag", True):
-            self._detect_new(tracker_map, frame)
+        detect = getattr(frame, "_detect_tag", True)
+        if detect:
+            cand, resp, cvalid = img_ops.gftt_candidates(
+                frame._pyr[0], max_candidates=1024, quality_level=1e-3,
+                border=20)
+            fetch["cand"] = cand
+            fetch["cvalid"] = cvalid
+
+        vals = jax.device_get(fetch) if fetch else {}
+
+        if track_ctx is not None:
+            self._finish_track(tracker_map, prev, frame, track_ctx, vals)
+        if detect:
+            self._finish_detect(tracker_map, frame, vals)
 
         if prev is not None and hasattr(prev, "_pyr"):
             del prev._pyr  # release_image_buffer
+
+        # sample the aligned depth image (if any) at the final keypoint
+        # positions -> metric z-depth per keypoint (0 = no measurement)
+        dimg = getattr(frame, "_depth_img", None)
+        if dimg is not None:
+            kd = np.zeros((self.capacity,), dtype=np.float64)
+            Hd, Wd = dimg.shape
+            for k in np.nonzero(frame.track_ids >= 0)[0]:
+                u = int(round(frame._pts[k, 0]))
+                v = int(round(frame._pts[k, 1]))
+                if 0 <= u < Wd and 0 <= v < Hd:
+                    kd[k] = float(dimg[v, u])
+            frame.kp_depth = kd
+            frame._depth_img = None
 
         # painter tap (reference InspectPainter, inspection.h:41-57)
         if inspection.inspect_get(inspection.PAINTER_ENABLE):
@@ -184,8 +268,10 @@ class KLTFeatureTracker(FeatureTrackerBase):
                     (frame.imu_w[-1] - prev.bg) * (frame.t - t_cur)))
         return nputil.quat_normalize(dq)
 
-    def _track_from(self, tracker_map: PipelineMap, prev: FrameRec,
-                    frame: FrameRec):
+    def _dispatch_track(self, prev: FrameRec, frame: FrameRec, fetch: dict):
+        """Host prep + async dispatch of KLT and the fused RANSAC gates.
+        Device handles land in `fetch`; returns host context for
+        _finish_track."""
         cfg = self.config
         C = self.capacity
         H, W = frame._pyr[0].shape
@@ -218,34 +304,43 @@ class KLTFeatureTracker(FeatureTrackerBase):
             prev._pyr, frame._pyr,
             jnp.asarray(pts_prev), jnp.asarray(pts_init), jnp.asarray(valid),
             win=21, iters=30, eps=0.01, border=20)
-        nxt = np.asarray(nxt, dtype=np.float64)
-        status = np.asarray(status).copy()
+        status_klt = status
+
+        # essential + rotation gates, fused on device (frame.cpp:108-134)
+        bp = np.zeros((C, 3))
+        bp[:, 2] = 1.0
+        bp[:n] = bearings_prev
+        if self._Kinv_dev is None:
+            self._Kinv_dev = jnp.asarray(np.linalg.inv(frame.K))
+        key = jax.random.PRNGKey(self._rng.integers(2**31))
+        b_next, status, no_trans = _post_klt_gates(
+            key, nxt, status, jnp.asarray(bp), self._Kinv_dev,
+            rot_thresh_deg=float(cfg.rotation_ransac_threshold),
+            mis_thresh_deg=float(cfg.rotation_misalignment_threshold))
+
+        fetch["nxt"] = nxt
+        fetch["status"] = status
+        fetch["b_next"] = b_next
+        fetch["no_trans"] = no_trans
+        import os
+
+        if os.environ.get("XR_DEBUG_TRACK"):
+            fetch["status_klt"] = status_klt  # pre-gate KLT survivors
+        return {"slots": slots, "n": n}
+
+    def _finish_track(self, tracker_map: PipelineMap, prev: FrameRec,
+                      frame: FrameRec, ctx: dict, vals: dict):
+        """Host half of tracking: Poisson re-filter + track extension,
+        using the batched readback in `vals`."""
+        cfg = self.config
+        C = self.capacity
+        slots, n = ctx["slots"], ctx["n"]
+        nxt = np.asarray(vals["nxt"], dtype=np.float64)
+        status = np.asarray(vals["status"]).copy()
         status[n:] = False
-
-        # essential RANSAC gate on normalized coords (frame.cpp:108-114)
-        Kinv = np.linalg.inv(frame.K)
-        b_next = (Kinv @ np.concatenate(
-            [nxt, np.ones((C, 1))], axis=1).T).T
-        b_next /= np.linalg.norm(b_next, axis=1, keepdims=True)
-        if status.sum() >= 8:
-            key = jax.random.PRNGKey(self._rng.integers(2**31))
-            # homogeneous z=1 normalized points (hnormalized in the ref)
-            h_prev = np.zeros((C, 3))
-            h_prev[:, 2] = 1.0
-            h_prev[:n] = bearings_prev / np.clip(bearings_prev[:, 2:3], 1e-9, None)
-            h_next = b_next / np.clip(b_next[:, 2:3], 1e-9, None)
-            _, e_mask, _ = stereo_mod.find_essential_matrix(
-                key, jnp.asarray(h_prev), jnp.asarray(h_next),
-                valid=jnp.asarray(status), threshold=1.0)
-            e_mask = np.asarray(e_mask)
-            status &= e_mask
-
-            # rotation RANSAC + misalignment percentile (frame.cpp:115-134)
-            bp = np.zeros((C, 3))
-            bp[:, 2] = 1.0
-            bp[:n] = bearings_prev
-            if detect_no_translation(key, bp, b_next, status, cfg):
-                frame.no_translation = True
+        b_next = np.asarray(vals["b_next"], dtype=np.float64)
+        if bool(vals["no_trans"]):
+            frame.no_translation = True
 
         # track-length-priority Poisson re-filter (frame.cpp:137-163)
         lengths = np.zeros((C,), dtype=np.int64)
@@ -275,22 +370,20 @@ class KLTFeatureTracker(FeatureTrackerBase):
             out_slot += 1
 
     # ------------------------------------------------------------------
-    def _detect_new(self, tracker_map: PipelineMap, frame: FrameRec):
+    def _finish_detect(self, tracker_map: PipelineMap, frame: FrameRec,
+                       vals: dict):
         cfg = self.config
         C = self.capacity
         used = np.nonzero(frame.track_ids >= 0)[0]
         free = C - len(used)
         if free <= 0:
             return
-        # GFTT candidates on device; spacing suppression on host (the
-        # native grid filter — a long sequential scan is the one part
-        # of detection that does not belong on the accelerator)
-        cand, resp, cvalid = img_ops.gftt_candidates(
-            frame._pyr[0], max_candidates=1024, quality_level=1e-3,
-            border=20)
-        cand = np.asarray(cand)
-        resp = np.asarray(resp)
-        cvalid = np.asarray(cvalid)
+        # GFTT candidates came off the device in the frame's single
+        # batched fetch; spacing suppression on host (the native grid
+        # filter — a long sequential scan is the one part of detection
+        # that does not belong on the accelerator)
+        cand = np.asarray(vals["cand"])
+        cvalid = np.asarray(vals["cvalid"])
 
         n_pre = len(used)
         all_pts = np.concatenate([frame._pts[used], cand], axis=0)

@@ -31,6 +31,9 @@ class DataType(enum.Enum):
     ACCELEROMETER = 1
     CAMERA = 2
     END = 3
+    # aligned depth image (XRSLAM_SENSOR_DEPTH_CAMERA, XRSLAM.h:22);
+    # emitted just before the camera frame it accompanies
+    DEPTH = 4
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +221,19 @@ class _Mav0Reader(DatasetReader):
         self._gyros = [(t, w) for t, w, _ in imu]
         self._accels = [(t, a) for t, _, a in imu]
 
-        events = ([(t, DataType.CAMERA) for t, _ in self._images]
+        # optional aligned depth stream (mav0/depth0, same csv layout;
+        # uint16 millimeter PNGs — the XRSLAMDepthImage convention)
+        depth_dir = os.path.join(path, "depth0")
+        self._depths = []
+        if os.path.isfile(os.path.join(depth_dir, "data.csv")):
+            self._depths = [(t + t_off, os.path.join(depth_dir, "data", fn))
+                            for t, fn in _read_camera_csv(
+                                os.path.join(depth_dir, "data.csv"))]
+
+        # stable sort: depth listed before camera so an equal-timestamp
+        # depth image is available when its frame arrives
+        events = ([(t, DataType.DEPTH) for t, _ in self._depths]
+                  + [(t, DataType.CAMERA) for t, _ in self._images]
                   + [(t, DataType.GYROSCOPE) for t, _ in self._gyros]
                   + [(t, DataType.ACCELEROMETER) for t, _ in self._accels])
         events.sort(key=lambda e: e[0])
@@ -254,6 +269,15 @@ class _Mav0Reader(DatasetReader):
         self._events.pop(0)
         return self._accels.pop(0)
 
+    def read_depth(self):
+        """(t, depth (H,W) float32 meters; 0 = invalid)."""
+        from PIL import Image
+
+        t, fn = self._depths.pop(0)
+        self._events.pop(0)
+        d = np.asarray(Image.open(fn), dtype=np.float32) / 1000.0
+        return t, d
+
 
 class EurocDatasetReader(_Mav0Reader):
     pass
@@ -286,6 +310,8 @@ class AsyncDatasetReader(DatasetReader):
                 item = self._inner.read_image()
             elif kind == DataType.GYROSCOPE:
                 item = self._inner.read_gyroscope()
+            elif kind == DataType.DEPTH:
+                item = self._inner.read_depth()
             else:
                 item = self._inner.read_accelerometer()
             self._q.put((kind, item))
@@ -316,6 +342,9 @@ class AsyncDatasetReader(DatasetReader):
 
     def read_accelerometer(self):
         return self._pop(DataType.ACCELEROMETER)
+
+    def read_depth(self):
+        return self._pop(DataType.DEPTH)
 
 
 def create_reader(uri: str, config: Optional[Config] = None,

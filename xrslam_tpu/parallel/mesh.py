@@ -41,13 +41,27 @@ def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
     """Multi-host (DCN) initialization — jax.distributed. No-op when
-    the process is already initialized or runs single-host."""
+    the process is already initialized; any real rendezvous failure
+    propagates (a silently-single-host "distributed" run would compute
+    wrong psums, so failing loud is the only safe behavior).
+
+    On the CPU backend, cross-process collectives need jaxlib's gloo
+    implementation; select it before the backend is instantiated."""
+    # NB: inspect the *config* (not jax.default_backend(), which would
+    # instantiate the backend before jax.distributed.initialize runs)
+    platforms = str(getattr(jax.config, "jax_platforms", "") or "")
+    if "tpu" not in platforms:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # flag absent in this jaxlib / backend already fixed
     try:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized / single-host
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

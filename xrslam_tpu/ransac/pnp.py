@@ -15,6 +15,8 @@ error ‖x − hnorm(R·X + t)‖².
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -60,6 +62,7 @@ def pnp_reproject_error(T: jnp.ndarray, X: jnp.ndarray, x: jnp.ndarray):
 CHI2_2DOF = 5.99  # t2 (pnp.h:117)
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def find_pnp_matrix(key, X, x, valid=None, threshold: float = 1.0,
                     n_hyp: int = 256):
     """RANSAC PnP (reference pnp.h:96-131). Returns (T, inlier_mask,
@@ -77,6 +80,7 @@ def find_pnp_matrix(key, X, x, valid=None, threshold: float = 1.0,
                        n_hyp=n_hyp, valid=valid)
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def find_pnp_matrix_parsac(key, X, x, bin_conf, valid=None,
                            threshold: float = 1.0, norm_scale: float = 1.0,
                            n_hyp: int = 256):
@@ -97,6 +101,7 @@ def find_pnp_matrix_parsac(key, X, x, bin_conf, valid=None,
                          n_hyp=n_hyp)
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def find_pnp_matrix_parsac_imu(key, X, x, lens, prior_T, bin_conf,
                                dynamic_prob, valid=None,
                                threshold: float = 1.0,
@@ -126,6 +131,7 @@ def find_pnp_matrix_parsac_imu(key, X, x, lens, prior_T, bin_conf,
                              valid=valid, norm_scale=norm_scale, n_hyp=n_hyp)
 
 
+@partial(jax.jit, static_argnames=("iters",))
 def refine_pose_pnp(q_wc, p_wc, X, bearings, valid, sqrt_inv_cov2,
                     iters: int = 10, damping: float = 1e-6):
     """Pose-only robust Gauss-Newton against known 3D landmarks: the

@@ -12,6 +12,8 @@ Thresholds match the reference exactly:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +27,7 @@ CHI2_1DOF = 3.84
 CHI2_2DOF = 5.99
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def find_essential_matrix(key, x1, x2, valid=None, threshold: float = 1.0,
                           n_hyp: int = 64):
     """Batched 5-pt essential RANSAC (stereo.cpp:38-66). x1, x2: (N,3)
@@ -53,6 +56,7 @@ def find_essential_matrix(key, x1, x2, valid=None, threshold: float = 1.0,
     return E_flat[best], mask, count
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def find_homography_matrix(key, p1, p2, valid=None, threshold: float = 1.0,
                            n_hyp: int = 128):
     """Batched 4-pt homography RANSAC (stereo.cpp:96-122). p1, p2:
@@ -75,6 +79,7 @@ def find_homography_matrix(key, p1, p2, valid=None, threshold: float = 1.0,
     return Hs[best], mask, count
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def find_essential_matrix_parsac(key, x1, x2, bin_conf, valid=None,
                                  threshold: float = 1.0,
                                  norm_scale: float = 1.0, n_hyp: int = 64):
@@ -105,6 +110,7 @@ def find_essential_matrix_parsac(key, x1, x2, bin_conf, valid=None,
     return model[0], mask, count, new_conf
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def find_homography_matrix_parsac(key, p1, p2, bin_conf, valid=None,
                                   threshold: float = 1.0,
                                   norm_scale: float = 1.0, n_hyp: int = 128):
@@ -127,6 +133,7 @@ def find_homography_matrix_parsac(key, p1, p2, bin_conf, valid=None,
         valid=valid, norm_scale=norm_scale, n_hyp=n_hyp)
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def find_rotation_matrix(key, b1, b2, valid=None, threshold: float = 1.0,
                          n_hyp: int = 128):
     """Batched 2-pt rotation RANSAC (stereo.cpp:68-91). b1, b2: (N,3)

@@ -28,8 +28,13 @@ from ..core import nputil
 
 def render_dataset(out_dir: str, n_frames: int = 60, n_landmarks: int = 500,
                    width: int = 320, height: int = 240, focal: float = 260.0,
-                   seed: int = 3) -> dict:
-    """Returns paths dict {root, slam_yaml, device_yaml}."""
+                   seed: int = 3, with_depth: bool = False) -> dict:
+    """Returns paths dict {root, slam_yaml, device_yaml}.
+
+    `with_depth` additionally renders aligned sparse depth images
+    (mav0/depth0, uint16 millimeters, 0 = no measurement): each visible
+    landmark blob writes its camera z-depth in a small disc — the
+    XRSLAMDepthImage input stream (XRSLAM.h:56-60)."""
     import jax.numpy as jnp
     from PIL import Image
 
@@ -75,8 +80,9 @@ def render_dataset(out_dir: str, n_frames: int = 60, n_landmarks: int = 500,
         vis = Xc[:, 2] > 0.3
         uv = (K @ (Xc[vis] / Xc[vis, 2:3]).T).T[:, :2]
         img = bg.copy()
+        dep = np.zeros((H, W), dtype=np.float32)
         r = 7
-        for (u, v), amp in zip(uv, amps[vis]):
+        for (u, v), amp, z in zip(uv, amps[vis], Xc[vis, 2]):
             if u < -r or u >= W + r or v < -r or v >= H + r:
                 continue
             x0, x1 = max(0, int(u) - r), min(W, int(u) + r + 1)
@@ -84,18 +90,36 @@ def render_dataset(out_dir: str, n_frames: int = 60, n_landmarks: int = 500,
             xs, ys = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
             img[y0:y1, x0:x1] += amp * np.exp(
                 -((xs - u) ** 2 + (ys - v) ** 2) / (2 * sig * sig))
-        return np.clip(img, 0, 1)
+            if with_depth:
+                disc = ((xs - u) ** 2 + (ys - v) ** 2) <= (r - 2) ** 2
+                blk = dep[y0:y1, x0:x1]
+                # nearest surface wins where blobs overlap
+                blk[disc & ((blk == 0) | (blk > z))] = z
+                dep[y0:y1, x0:x1] = blk
+        return np.clip(img, 0, 1), dep
 
     T0 = 1_500_000_000_000_000_000
+    if with_depth:
+        os.makedirs(os.path.join(root, "depth0", "data"), exist_ok=True)
     cam_rows = ["#timestamp [ns],filename"]
+    dep_rows = ["#timestamp [ns],filename"]
     for i in range(n_frames):
         tns = T0 + int(round(ts[i] * 1e9))
         fn = f"{tns}.png"
-        Image.fromarray((render(i) * 255).astype(np.uint8)).save(
+        img, dep = render(i)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(root, "cam0", "data", fn))
         cam_rows.append(f"{tns},{fn}")
+        if with_depth:
+            Image.fromarray(
+                np.clip(dep * 1000.0, 0, 65535).astype(np.uint16)).save(
+                os.path.join(root, "depth0", "data", fn))
+            dep_rows.append(f"{tns},{fn}")
     with open(os.path.join(root, "cam0", "data.csv"), "w") as f:
         f.write("\n".join(cam_rows) + "\n")
+    if with_depth:
+        with open(os.path.join(root, "depth0", "data.csv"), "w") as f:
+            f.write("\n".join(dep_rows) + "\n")
 
     it = np.asarray(scene.imu_t)
     iw = np.asarray(scene.imu_w)
@@ -170,9 +194,12 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--landmarks", type=int, default=500)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--depth", action="store_true",
+                    help="also render aligned sparse depth images")
     args = ap.parse_args(argv)
     paths = render_dataset(args.out_dir, n_frames=args.frames,
-                           n_landmarks=args.landmarks, seed=args.seed)
+                           n_landmarks=args.landmarks, seed=args.seed,
+                           with_depth=args.depth)
     print(paths)
 
 

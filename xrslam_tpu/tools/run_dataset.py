@@ -49,6 +49,9 @@ def run_sequence(uri: str, config: Config, tum_out=None, max_frames=None,
         elif kind == DataType.ACCELEROMETER:
             t, a = reader.read_accelerometer()
             slam.push_sensor_data(api.SensorType.ACCELERATION, t, a)
+        elif kind == DataType.DEPTH:
+            t, d = reader.read_depth()
+            slam.push_sensor_data(api.SensorType.DEPTH_CAMERA, t, d)
         else:
             t, img = reader.read_image()
             slam.push_sensor_data(api.SensorType.CAMERA, t, img)

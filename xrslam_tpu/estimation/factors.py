@@ -154,7 +154,7 @@ def _preint_residual_core(
 ):
     """15-residual preintegration error, weighted by the delta's sqrt
     information (reference preintegration_factor.h:40-75,160)."""
-    g = GRAVITY.astype(p_i.dtype)
+    g = jnp.asarray(GRAVITY, dtype=p_i.dtype)
     qi = lie.quat_mul(q_i, q_bi_i)
     pi = p_i + lie.quat_rotate(q_i, p_bi_i)
     qj = lie.quat_mul(q_j, q_bi_j)

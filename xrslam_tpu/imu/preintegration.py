@@ -25,11 +25,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import lie
 
 GRAVITY_NOMINAL = 9.80665
-GRAVITY = jnp.array([0.0, 0.0, -GRAVITY_NOMINAL])
+# numpy (not jnp): a module-level device array would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize
+GRAVITY = np.array([0.0, 0.0, -GRAVITY_NOMINAL])
 
 # Error-state offsets (reference estimation/state.h:12-19).
 ES_Q, ES_P, ES_V, ES_BG, ES_BA, ES_SIZE = 0, 3, 6, 9, 12, 15
@@ -228,7 +231,7 @@ def predict(pose_q, pose_p, v, bg, ba, delta: PreintDelta):
 
     Returns (q_new, p_new, v_new, bg, ba).
     """
-    g = GRAVITY.astype(pose_p.dtype)
+    g = jnp.asarray(GRAVITY, dtype=pose_p.dtype)
     v_new = v + g * delta.t + lie.quat_rotate(pose_q, delta.v)
     p_new = pose_p + 0.5 * g * delta.t * delta.t + v * delta.t + lie.quat_rotate(pose_q, delta.p)
     q_new = lie.quat_mul(pose_q, delta.q)

@@ -140,7 +140,11 @@ class XRSLAM:
             td, d = self._cur_depth
             if abs(td - t) < 0.02:  # within ~half a 20 Hz frame period
                 depth = d
-            self._cur_depth = None
+                self._cur_depth = None
+            elif td <= t:
+                self._cur_depth = None  # stale: matching frame already gone
+            # else: depth stream leads the RGB stream — hold it for the
+            # matching (future) camera frame
         self.pipeline.track_camera_image(t, img, depth=depth)
         out = self.pipeline.predict_pose(self.pipeline.last_imu_t)
         self._note_output(out)

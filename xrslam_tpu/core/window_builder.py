@@ -87,6 +87,8 @@ def triangulate_track(tr, frames_by_id) -> Optional[np.ndarray]:
         if z <= 1e-3:
             continue
         b = f.bearings[k]
+        if b[2] <= 1e-6:  # corrupt/behind-camera bearing: fall through to DLT
+            continue
         x_c = b / b[2] * z
         q_wc, p_wc = f.camera_pose()
         return nputil.quat_rotate(q_wc, x_c) + p_wc

@@ -135,13 +135,20 @@ def add_polys(a, b):
     return a + b
 
 
+_C_TABLE = np.zeros((len(_C_MAP), 10, 4))
+for _m, (_col, _zpow) in enumerate(_C_MAP):
+    _C_TABLE[_m, _col, _zpow] = 1.0
+
+
 def _c_of_z(polys, z):
-    """Evaluate C(z): polys (...,10,20), z (...,) -> (...,10,10)."""
+    """Evaluate C(z): polys (...,10,20), z (...,) -> (...,10,10).
+
+    One einsum against the static (monomial -> column, z-power) table —
+    a scatter-add loop here poisons the layout of everything downstream
+    (see CLAUDE.md performance rules)."""
     zp = jnp.stack([jnp.ones_like(z), z, z * z, z * z * z], axis=-1)  # (...,4)
-    C = jnp.zeros(polys.shape[:-1] + (10,), dtype=polys.dtype)
-    for m, (col, zpow) in enumerate(_C_MAP):
-        C = C.at[..., col].add(polys[..., m] * zp[..., zpow][..., None])
-    return C
+    T = jnp.asarray(_C_TABLE, dtype=polys.dtype)
+    return jnp.einsum("...rm,mcp,...p->...rc", polys, T, zp)
 
 
 def nullspace_basis(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -174,18 +181,20 @@ def _poly_roots_real(coeffs, grid: int = 64, iters: int = 40):
     sign_change = (vals[..., :-1] * vals[..., 1:]) < 0  # (...,G-1)
     lo = zb[..., :-1]
     hi = zb[..., 1:]
+    vlo = vals[..., :-1]
 
     def body(_, carry):
-        lo, hi = carry
+        # carry vlo across iterations: one poly eval per step, not two
+        lo, hi, vlo = carry
         mid = 0.5 * (lo + hi)
-        vlo = evalp(coeffs, lo)
         vmid = evalp(coeffs, mid)
         same = (vlo * vmid) > 0
         lo = jnp.where(same, mid, lo)
         hi = jnp.where(same, hi, mid)
-        return lo, hi
+        vlo = jnp.where(same, vmid, vlo)
+        return lo, hi, vlo
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    lo, hi, _ = jax.lax.fori_loop(0, iters, body, (lo, hi, vlo))
     roots = 0.5 * (lo + hi)
     return roots, sign_change
 
@@ -197,8 +206,8 @@ def solve_essential_5pt(x1: jnp.ndarray, x2: jnp.ndarray, n_samples: int = 16):
     Args:
       x1, x2: (...,5,3) homogeneous normalized points (z=1 or bearings).
 
-    Returns (E (...,R,3,3), valid (...,R)) with R = 2·63 root slots,
-    masked to the actual real solutions (≤10).
+    Returns (E (...,R,3,3), valid (...,R)) with R = 12 compacted root
+    slots, masked to the actual real solutions (≤10).
     """
     dtype = x1.dtype
     basis = nullspace_basis(x1, x2)          # (...,9,4)
@@ -223,24 +232,45 @@ def solve_essential_5pt(x1: jnp.ndarray, x2: jnp.ndarray, n_samples: int = 16):
     # q's coefficients are p's reversed, so fit p once and reverse
     coeffs_b = coeffs_a[..., ::-1]
 
-    roots_a, val_a = _poly_roots_real(coeffs_a)
-    roots_b, val_b = _poly_roots_real(coeffs_b)
+    # both charts in one batched bisection (roots beyond f32 resolution
+    # gain nothing from >32 halvings of [-1,1])
+    roots_ab, val_ab = _poly_roots_real(
+        jnp.stack([coeffs_a, coeffs_b], axis=0), iters=32)
+    roots_a, roots_b = roots_ab[0], roots_ab[1]
+    val_a, val_b = val_ab[0], val_ab[1]
     # w≈0 → |z|→∞: drop tiny w
     val_b = val_b & (jnp.abs(roots_b) > 1e-8)
     z_all = jnp.concatenate([roots_a, 1.0 / jnp.where(jnp.abs(roots_b) > 1e-8, roots_b, 1.0)], axis=-1)
-    valid = jnp.concatenate([val_a, val_b], axis=-1)  # (...,R)
+    valid = jnp.concatenate([val_a, val_b], axis=-1)  # (...,2(G-1))
 
-    # --- per root: null vector of C(z*) → (x,y) ---
+    # compact: a degree-10 polynomial has at most 10 real roots (plus
+    # possible chart-boundary duplicates at |z|=1), so only ≤12 of the
+    # 2(G-1) bisection slots can be valid — gather them to the front and
+    # run the expensive null-vector solve on 12 slots instead of 126
+    R = 12
+    order = jnp.argsort(jnp.where(valid, 0, 1), axis=-1, stable=True)
+    order = order[..., :R]
+    z_all = jnp.take_along_axis(z_all, order, axis=-1)
+    valid = jnp.take_along_axis(valid, order, axis=-1)
+
+    # --- per root: null vector of C(z*) → (x,y).
+    # Fixing the "1"-monomial coordinate m[9]=1 turns the null-vector
+    # problem into a 9-var least squares C[:,:9]·m' = −C[:,9], solved by
+    # normal equations — the same finite-(x,y) chart the previous
+    # eigh-based version assumed when it divided by m[9], at ~1/6 the
+    # TPU cost (batched 9×9 solve vs iterative 10×10 eigh; this kernel
+    # runs n_hyp×R times per RANSAC call and dominated the frontend).
     def per_root(z):
         C = _c_of_z(polys, z)  # (...,10,10)
-        ctc = jnp.einsum("...ij,...ik->...jk", C, C)
-        _, v = jnp.linalg.eigh(ctc)
-        m = v[..., :, 0]
-        w = m[..., 9]
-        w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-        x = m[..., 7] / w
-        y = m[..., 8] / w
-        return x, y
+        A = C[..., :, :9]
+        rhs = -C[..., :, 9]
+        ata = jnp.einsum("...ij,...ik->...jk", A, A)
+        atb = jnp.einsum("...ij,...i->...j", A, rhs)
+        scale = jnp.maximum(jnp.trace(ata, axis1=-2, axis2=-1), 1e-30)
+        reg = (1e-7 if ata.dtype == jnp.float32 else 1e-13) * scale
+        ata = ata + reg[..., None, None] * jnp.eye(9, dtype=ata.dtype)
+        m = jnp.linalg.solve(ata, atb[..., None])[..., 0]
+        return m[..., 7], m[..., 8]
 
     zt = jnp.moveaxis(z_all, -1, 0)  # (R,...)
     xs, ys = jax.vmap(per_root)(zt)  # (R,...)

@@ -374,3 +374,22 @@ def bearings_of(scene: Scene, q_bc, p_bc, frame_idx=None, fov_cos: float = 0.2):
     bearings = x_c / jnp.maximum(norm, 1e-12)[..., None]
     mask = (depth > 0.2) & (bearings[..., 2] > fov_cos)
     return bearings, mask
+
+
+def demo_window_problem(K, L, dtype, stride=2, n_lm=None):
+    """Canonical benchmark/scaling fixture: a circle-scene window with
+    the standard camera extrinsics — shared by __graft_entry__,
+    bench.py, and tools/run_scaling.py (importable from the package, so
+    the tools work from any working directory)."""
+    from ..geometry import lie
+
+    n_lm = n_lm or (L - 8)
+    scene = euler_consistent(
+        circle_scene(n_frames=K * stride + 1, n_landmarks=n_lm, dtype=dtype)
+    )
+    q_bc = lie.expmap(jnp.array([-jnp.pi / 2, 0.0, 0.0], dtype=dtype))
+    p_bc = jnp.array([0.02, -0.01, 0.03], dtype=dtype)
+    return window_problem(
+        scene, list(range(0, K * stride, stride)), L=L, q_bc=q_bc, p_bc=p_bc,
+        dtype=dtype,
+    )

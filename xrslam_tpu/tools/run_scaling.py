@@ -47,7 +47,7 @@ def _child(args) -> None:
     n = jax.device_count()
     opts = SolveOptions(iterations=args.iters)
 
-    from __graft_entry__ import _problem
+    from xrslam_tpu.io.synthetic import demo_window_problem as _problem
 
     if args.mode == "data":
         mesh = make_mesh(n, shape=(n, 1))

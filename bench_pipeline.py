@@ -34,15 +34,15 @@ def main(argv=None):
     from xrslam_tpu.tools.run_dataset import evaluate_ate, run_sequence
     from xrslam_tpu.utils import timing
 
-    tag = os.path.join(args.dir, f"ok_{args.frames}_{args.landmarks}")
-    if not os.path.exists(tag):
-        paths = render_dataset(args.dir, n_frames=args.frames,
-                               n_landmarks=args.landmarks)
-        with open(tag, "w") as f:
-            f.write("1")
-    root = os.path.join(args.dir, "mav0")
-    config = load_config(os.path.join(args.dir, "slam.yaml"),
-                         os.path.join(args.dir, "device.yaml"))
+    # one directory per (frames, landmarks) so cached renders can never
+    # alias a different shape
+    ds_dir = os.path.join(args.dir, f"f{args.frames}_l{args.landmarks}")
+    root = os.path.join(ds_dir, "mav0")
+    if not os.path.exists(os.path.join(ds_dir, "slam.yaml")):
+        render_dataset(ds_dir, n_frames=args.frames,
+                       n_landmarks=args.landmarks)
+    config = load_config(os.path.join(ds_dir, "slam.yaml"),
+                         os.path.join(ds_dir, "device.yaml"))
 
     uri = "euroc://" + root
     result = None

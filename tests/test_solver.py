@@ -190,3 +190,65 @@ def test_rotation_only_mode():
     rot0, _, _ = state_errors(st0, state_gt)
     rot1, _, _ = state_errors(st, state_gt)
     assert rot1 < rot0 * 1e-3, (rot0, rot1)
+
+
+def test_solver_time_limit_budget():
+    """solver_time_limit clamps the iteration count of subsequent
+    solves from the measured per-iteration time (the TPU-native form of
+    Ceres' max_solver_time_in_seconds, reference solver.cpp:186)."""
+    from xrslam_tpu.config import Config
+    from xrslam_tpu.core.map import PipelineMap
+    from xrslam_tpu.core.sliding_window import SlidingWindowTracker
+
+    cfg = Config(solver_iteration_limit=10, solver_time_limit=0.05)
+    swt = SlidingWindowTracker(PipelineMap(), cfg)
+    # no estimate yet: full budget
+    assert swt._budgeted_iterations("refine") == 10
+    # measured 20 ms/iter against a 50 ms budget -> 2 iterations
+    swt._iter_seconds["refine"] = 0.020
+    assert swt._budgeted_iterations("refine") == 2
+    # measured 1 ms/iter -> cap at the iteration limit
+    swt._iter_seconds["refine"] = 0.001
+    assert swt._budgeted_iterations("refine") == 10
+    # no limit configured -> never clamps
+    cfg2 = Config(solver_iteration_limit=10)
+    swt2 = SlidingWindowTracker(PipelineMap(), cfg2)
+    swt2._iter_seconds["refine"] = 10.0
+    assert swt2._budgeted_iterations("refine") == 10
+
+    # _solve_timed records an estimate only from the second call on
+    from xrslam_tpu.io.synthetic import demo_window_problem
+    st, data = demo_window_problem(4, 16, jnp.float64)
+    opts = SolveOptions(iterations=2)
+    swt._solve_timed("probe", st, data, opts)
+    assert "probe" not in swt._iter_seconds
+    swt._solve_timed("probe", st, data, opts)
+    assert swt._iter_seconds["probe"] > 0
+
+
+def test_landmark_gates():
+    """Device-side depth/RPE landmark gates (reference
+    sliding_window_tracker.cpp:325-352): ground-truth windows pass; a
+    corrupted inverse depth fails by RPE, a negated one by cheirality."""
+    from xrslam_tpu.estimation.solver import landmark_gates
+    from xrslam_tpu.io.synthetic import demo_window_problem
+
+    st, data = demo_window_problem(6, 32, jnp.float64)
+    K = st.q.shape[0]
+    fuv = jnp.full((K, 2), 450.0)
+    ok, rpe = landmark_gates(st, data, fuv)
+    ok = np.asarray(ok)
+    lm = np.asarray(data.landmark_mask)
+    assert ok[lm].all(), "ground-truth landmarks must pass the gates"
+    assert float(np.max(np.asarray(rpe)[lm])) < 0.5
+
+    l0 = int(np.nonzero(lm)[0][0])
+    # 30% depth error -> multi-pixel reprojection error
+    bad = st._replace(inv_depth=st.inv_depth.at[l0].mul(1.3))
+    ok2, rpe2 = landmark_gates(bad, data, fuv)
+    assert not bool(ok2[l0])
+    assert float(rpe2[l0]) > 3.0
+    # negative depth -> behind the anchor camera
+    neg = st._replace(inv_depth=st.inv_depth.at[l0].set(-1.0))
+    ok3, _ = landmark_gates(neg, data, fuv)
+    assert not bool(ok3[l0])

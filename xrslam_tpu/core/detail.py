@@ -63,6 +63,17 @@ class VIOPipeline:
         self.tracker_map = PipelineMap()
         self.initializer: Optional[Initializer] = Initializer(config)
         self.swt: Optional[SlidingWindowTracker] = None
+        # visual (re)localization client (reference owns it in
+        # FrontendWorker, frontend_worker.cpp:21-26; queried from the
+        # tracking loop, feature_tracker.cpp:116-121). Default backend:
+        # the HTTP XRLocalization client when an endpoint is configured;
+        # tests/apps may install a MapLocalizer via set_localizer().
+        self.localizer = None
+        if config.visual_localization_enable and \
+                config.visual_localization_config_port:
+            from ..localizer import HttpLocalizer
+
+            self.localizer = HttpLocalizer(config)
 
         self.gyro_buf: List[tuple] = []   # (t, w)
         self.accel_buf: List[tuple] = []  # (t, a)
@@ -84,6 +95,12 @@ class VIOPipeline:
         # reference counts frames, feature_tracker.cpp:47-49; frame ids
         # are globally monotonic and would alias across instances)
         self._frame_count: int = 0
+
+    def set_localizer(self, localizer) -> None:
+        """Install a visual-localization backend (MapLocalizer /
+        HttpLocalizer); requires config.visual_localization_enable for
+        the tracking loop to actually query it."""
+        self.localizer = localizer
 
     # ------------------------------------------------------------------
     # IMU ingestion (reference detail.cpp:46-101)
@@ -216,12 +233,24 @@ class VIOPipeline:
                      self._frame_count % self.config.sliding_window_tracker_frequent == 0)
         self._frame_count += 1
         frame._detect_tag = issue_tag
+        image = getattr(frame, "_image", None)  # tracker clears the slot
         self.tracker_map.attach_frame(frame)
         with stage_timer("feature_tracker_time"):
             self.tracker.track_frame(self.tracker_map, frame)
 
         if self.swt is not None and self.config.visual_pnp_enable:
             self._solve_pnp_highrate(frame)
+
+        # throttled visual-localization query while tracking (reference
+        # feature_tracker.cpp:116-121: query with the frame image + the
+        # SLAM-frame pose at the frame time)
+        if (self.localizer is not None and self.swt is not None
+                and self.config.visual_localization_enable):
+            prop = self._propagate_full(frame.t)
+            if prop is not None:
+                _, q_b, p_b, _ = prop
+                self.localizer.query_localization(
+                    frame.t, image if image is not None else frame, q_b, p_b)
 
         # trim tracker map (reference feature_tracker.cpp map upkeep)
         cap = (self.config.feature_tracker_max_frames if self.swt
@@ -330,6 +359,10 @@ class VIOPipeline:
         if prop is None:
             return None
         t_cur, q, p, _ = prop
+        # SLAM frame -> global (SfM map) frame once the localizer has
+        # registered the transform (reference detail.cpp:170-175)
+        if self.localizer is not None and self.localizer.is_initialized():
+            q, p = self.localizer.transform(q, p)
         return OutputPose(t=t_cur, q=q, p=p)
 
     def _propagate_full(self, t: float):

@@ -112,7 +112,7 @@ class Initializer:
         frames[0].fix_pose = True
         state, data, meta = extract_window(
             self.map, frames, len(frames), self.config.init_landmark_slots,
-            self.noise, track_filter=lambda t: t.valid, imu_cap=512,
+            self.noise, track_filter=lambda t: t.valid, imu_cap=128,
         )
         st, info = solve_window(state, data, SolveOptions(
             iterations=self.config.solver_iteration_limit))
@@ -179,32 +179,37 @@ class Initializer:
         a2[:n] = m2[:n]
         vv = np.zeros((N_CAP,), dtype=bool)
         vv[:n] = True
+        # dispatch BOTH hypothesis pipelines (homography + essential
+        # RANSAC + decompositions) asynchronously, then pull every
+        # result the host needs in ONE packed transfer — per-output
+        # fetches cost a full tunnel round trip each
+        from ..geometry.essential import decompose_essential
+        from ..utils.fetch import fetch_packed
+
         H, _, _ = stereo_mod.find_homography_matrix(
             self._next_key(), jnp.asarray(a1), jnp.asarray(a2),
             valid=jnp.asarray(vv), threshold=0.7 / fu, n_hyp=128,
         )
         RH1, RH2, TH1, TH2, _n1, _n2, pure = homo_mod.decompose_homography(H)
-        if bool(pure):
-            self._dbg("homography pure-rotation")
-            return False  # pure rotation (reference :206-209)
-        Rs, Ts = [], []
-        for R, T in ((np.asarray(RH1), np.asarray(TH1)),
-                     (np.asarray(RH2), np.asarray(TH2))):
-            T = T / max(np.linalg.norm(T), 1e-12)
-            Rs += [R, R]
-            Ts += [T, -T]
-
         h1 = np.concatenate([a1, np.ones((N_CAP, 1))], axis=1)
         h2 = np.concatenate([a2, np.ones((N_CAP, 1))], axis=1)
         E, _, _ = stereo_mod.find_essential_matrix(
             self._next_key(), jnp.asarray(h1), jnp.asarray(h2),
             valid=jnp.asarray(vv), threshold=0.7 / fu, n_hyp=64,
         )
-        from ..geometry.essential import decompose_essential
         RE1, RE2, TE = decompose_essential(E)
-        TE = np.asarray(TE)
+        RH1, RH2, TH1, TH2, pure, RE1, RE2, TE = fetch_packed(
+            (RH1, RH2, TH1, TH2, pure, RE1, RE2, TE))
+        if bool(pure):
+            self._dbg("homography pure-rotation")
+            return False  # pure rotation (reference :206-209)
+        Rs, Ts = [], []
+        for R, T in ((RH1, TH1), (RH2, TH2)):
+            T = T / max(np.linalg.norm(T), 1e-12)
+            Rs += [R, R]
+            Ts += [T, -T]
         TE = TE / max(np.linalg.norm(TE), 1e-12)
-        Rs += [np.asarray(RE1), np.asarray(RE1), np.asarray(RE2), np.asarray(RE2)]
+        Rs += [RE1, RE1, RE2, RE2]
         Ts += [TE, -TE, TE, -TE]
 
         # score hypotheses by triangulation count + RPE (reference :230-271)
@@ -380,18 +385,35 @@ class Initializer:
                 return False
         return self._apply_init()
 
-    def _preintegrate(self):
+    def _preintegrate(self, cap: int = 256):
         """Preintegrate each interval at the current bias estimate
-        (reference :522-533)."""
-        self.deltas = [None]
+        (reference :522-533). ONE batched integrate over all intervals
+        (a vmapped scan of length `cap`, not K sequential scans) and ONE
+        packed transfer for the host copies — per-interval dispatch+fetch
+        cost ~900 ms per init attempt on the tunneled TPU."""
+        from ..utils.fetch import fetch_packed
+
+        n_int = len(self.map.frames) - 1
+        t_bufs = np.zeros((n_int, cap))
+        w_bufs = np.zeros((n_int, cap, 3))
+        a_bufs = np.zeros((n_int, cap, 3))
+        t_ends = np.zeros((n_int,))
+        counts = np.zeros((n_int,), dtype=np.int32)
         for j in range(1, len(self.map.frames)):
             f = self.map.frames[j]
-            t_buf, w_buf, a_buf, n = interval_samples([f], 1024)
-            d = pre.integrate(jnp.asarray(t_buf), jnp.asarray(w_buf),
-                              jnp.asarray(a_buf), jnp.asarray(f.t),
-                              jnp.asarray(self.bg), jnp.asarray(self.ba),
-                              self.noise, count=n, compute_sqrt_inv=False)
-            self.deltas.append(jax.tree.map(np.asarray, d))
+            t_buf, w_buf, a_buf, n = interval_samples([f], cap)
+            t_bufs[j - 1], w_bufs[j - 1], a_bufs[j - 1] = t_buf, w_buf, a_buf
+            t_ends[j - 1] = f.t
+            counts[j - 1] = n
+        bg = np.broadcast_to(self.bg, (n_int, 3))
+        ba = np.broadcast_to(self.ba, (n_int, 3))
+        batch = pre.integrate_batch(
+            jnp.asarray(t_bufs), jnp.asarray(w_bufs), jnp.asarray(a_bufs),
+            jnp.asarray(t_ends), jnp.asarray(bg), jnp.asarray(ba),
+            self.noise, jnp.asarray(counts), compute_sqrt_inv=False)
+        host = fetch_packed(batch)
+        self.deltas = [None] + [jax.tree.map(lambda x, j=j: x[j], host)
+                                for j in range(n_int)]
 
     def _imu_pose(self, f: FrameRec):
         q = nputil.quat_mul(f.q, f.q_bi)

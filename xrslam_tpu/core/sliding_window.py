@@ -18,6 +18,7 @@ exactly once.
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional
 
 import jax
@@ -26,12 +27,13 @@ import numpy as np
 
 from ..config import Config
 from ..estimation.marginalization import marginalize_frame as marginalize_window_frame
-from ..estimation.solver import SolveOptions, solve_window
+from ..estimation.solver import SolveOptions, landmark_gates, solve_window
 from ..estimation.window import ES_SIZE, MargPrior
 from ..imu import preintegration as pre
 from ..ransac import parsac as parsac_mod
 from ..ransac import pnp as pnp_mod
 from ..ransac import stereo as stereo_mod
+from ..utils.fetch import fetch_packed
 from ..utils.timing import stage_timer
 from . import nputil
 from .map import FrameRec, PipelineMap
@@ -58,17 +60,26 @@ class SlidingWindowTracker:
         self.L_slots = config.window_landmark_slots
         self.K_sub = 11  # keyframe + up to 10 subframes (rotation case)
         self.marg: Optional[MargPrior] = None
-        self.bin_conf = parsac_mod.initial_bin_confidences(jnp.float64)
+        dt_canon = jax.dtypes.canonicalize_dtype(jnp.float64)
+        self.bin_conf = parsac_mod.initial_bin_confidences(dt_canon)
         # separate persistent bin state for the 2D-2D essential PARSAC
         # (the reference keeps a distinct function-static vector,
         # stereo.cpp:146-151)
-        self.bin_conf_2d2d = parsac_mod.initial_bin_confidences(jnp.float64)
+        self.bin_conf_2d2d = parsac_mod.initial_bin_confidences(dt_canon)
         self._rng = np.random.default_rng(config.random)
         self._key = jax.random.PRNGKey(config.random)
         self.m_th: float = 0.0
         # tracker-map handle for static-tag cross-propagation
         # (reference sliding_window_tracker.cpp:771-789)
         self._tracker_map: Optional[PipelineMap] = None
+        # solver_time_limit bookkeeping (reference enforces
+        # max_solver_time_in_seconds via Ceres, solver.cpp:186; a jitted
+        # fixed-iteration scan cannot early-exit on wall clock, so the
+        # TPU-native semantic is: measure the steady-state per-iteration
+        # time of each solve variant and clamp the NEXT solves'
+        # iteration count to fit the budget)
+        self._iter_seconds: dict = {}
+        self._solve_calls: dict = {}
         # event counters for inspection + the RD-VIO e2e proofs
         self.stats = {
             "subframe_lifts": 0,       # rotation/translation lift cases
@@ -82,6 +93,48 @@ class SlidingWindowTracker:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _budgeted_iterations(self, variant: str) -> int:
+        """Iteration count for a solve variant under solver_time_limit
+        (match reference solver.cpp:186 max_solver_time_in_seconds)."""
+        iters = self.config.solver_iteration_limit
+        limit = self.config.solver_time_limit
+        est = self._iter_seconds.get(variant)
+        if limit and limit > 0 and est:
+            fit = max(1, int(limit / est))
+            if fit < iters:
+                # quantize to a small ladder: `iterations` is a static
+                # jit arg, so every distinct value is a new executable
+                ladder = [1, 2, 3, 5, 8, 15, 30]
+                iters = max([v for v in ladder if v <= fit] or [1])
+        return iters
+
+    def _solve_timed(self, variant: str, state, data, opts: SolveOptions):
+        """solve_window + per-iteration wall-time tracking. The first
+        call per variant is compile-polluted and only primes the
+        counter; later calls update an EMA used by
+        _budgeted_iterations.
+
+        Timing needs a device sync, which costs a full tunnel round
+        trip — only pay it when a real solver_time_limit is configured
+        (otherwise the solve stays async and the write_back fetch is
+        the frame's single sync point)."""
+        limit = self.config.solver_time_limit
+        timed = bool(limit) and limit > 0 and limit < 1.0e5
+        if not timed:
+            return solve_window(state, data, opts)
+        t0 = time.perf_counter()
+        st, info = solve_window(state, data, opts)
+        jax.block_until_ready(st)
+        dt = time.perf_counter() - t0
+        n = self._solve_calls.get(variant, 0)
+        self._solve_calls[variant] = n + 1
+        if n >= 1 and opts.iterations > 0:
+            per = dt / opts.iterations
+            old = self._iter_seconds.get(variant)
+            self._iter_seconds[variant] = per if old is None \
+                else 0.7 * old + 0.3 * per
+        return st, info
 
     def keyframes(self) -> List[FrameRec]:
         return self.map.frames
@@ -161,7 +214,7 @@ class SlidingWindowTracker:
         qj, pj, vj, _, _ = pre.predict(jnp.asarray(q_i), jnp.asarray(p_i),
                                        jnp.asarray(frame_i.v),
                                        jnp.asarray(frame_i.bg), jnp.asarray(frame_i.ba), d)
-        qj, pj, vj = jax.device_get((qj, pj, vj))  # one round trip
+        qj, pj, vj = fetch_packed((qj, pj, vj))  # one transfer
         q_b = nputil.quat_normalize(nputil.quat_mul(qj, nputil.quat_conj(frame_j.q_bi)))
         frame_j.q = q_b
         frame_j.p = pj - nputil.quat_rotate(q_b, frame_j.p_bi)
@@ -210,7 +263,7 @@ class SlidingWindowTracker:
         state, data, meta = extract_window(
             self.map, wframes, self.K_slots + 2, self.L_slots, self.noise,
             track_filter=lambda t: t.all_tagged("valid", "triangulated", "static"),
-            with_preint=True,
+            with_preint=True, imu_cap=96,
         )
         # only the last preint entry (prev -> target) is a factor
         pm = np.zeros((self.K_slots + 2,), dtype=bool)
@@ -219,8 +272,8 @@ class SlidingWindowTracker:
             preint_mask=jnp.asarray(pm),
             fix_landmark=jnp.ones_like(data.fix_landmark),
         )
-        st, _ = solve_window(state, data, SolveOptions(
-            iterations=self.config.solver_iteration_limit))
+        st, _ = self._solve_timed("localize", state, data, SolveOptions(
+            iterations=self._budgeted_iterations("localize")))
         for f, (fp, fm) in zip(wframes, saved):
             f.fix_pose, f.fix_motion = fp, fm
         write_back(self.map, st, data, meta, write_landmarks=False,
@@ -321,16 +374,22 @@ class SlidingWindowTracker:
             self.map, frames, self.K_slots, self.L_slots, self.noise,
             track_filter=self._refine_track_filter(frames),
             all_frames_between=self._kf_between(frames),
-            imu_cap=512,
+            imu_cap=128,
         )
         if self.marg is None:
             self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
         data = data._replace(marg=self.marg, use_marg=jnp.asarray(True))
-        st, info = solve_window(state, data, SolveOptions(
-            iterations=self.config.solver_iteration_limit))
-        write_back(self.map, st, data, meta)
+        st, info = self._solve_timed("refine", state, data, SolveOptions(
+            iterations=self._budgeted_iterations("refine")))
+        # depth/RPE landmark gates run on device with the solve and come
+        # back in write_back's single packed fetch (the host-loop
+        # equivalent cost ~90 ms/keyframe)
+        fuv = np.stack([[f.K[0, 0], f.K[1, 1]] for f in frames]
+                       + [[1.0, 1.0]] * (self.K_slots - len(frames)))
+        gates = landmark_gates(st, data, jnp.asarray(fuv, dtype=st.p.dtype))
+        ok, _rpe = write_back(self.map, st, data, meta, extra=gates)
         self._last_window = (st, data, meta)
-        self._revalidate_landmarks(frames)
+        self._apply_landmark_gates(meta, np.asarray(ok))
 
     def _refine_track_filter(self, frames):
         kf_ids = {f.id for f in frames}
@@ -339,8 +398,24 @@ class SlidingWindowTracker:
             return (tr.valid and tr.static and tr.first_frame_id() in kf_ids)
         return ok
 
+    def _apply_landmark_gates(self, meta, ok: np.ndarray):
+        """Apply device-computed landmark_gates verdicts to the map
+        (reference :325-352 landmark re-validation)."""
+        for l, tid in enumerate(meta.track_ids):
+            if not meta.landmark_mask[l]:
+                continue
+            tr = self.map.tracks.get(tid)
+            if tr is None:
+                continue
+            tr.valid = bool(ok[l])
+            if not ok[l]:
+                tr.trash = True
+        self.map.prune_tracks(lambda t: t.trash and not t.static)
+
     def _revalidate_landmarks(self, frames):
-        """Depth and RPE gates after the window solve
+        """Depth and RPE gates after the window solve — host reference
+        implementation of landmark_gates, kept as the parity oracle
+        (tests/test_solver.py::test_landmark_gates_match_host)
         (reference :325-352)."""
         kf_by_id = {f.id: f for f in frames}
         for tr in list(self.map.tracks.values()):
@@ -379,7 +454,7 @@ class SlidingWindowTracker:
                 self.map, frames, self.K_slots, self.L_slots, self.noise,
                 track_filter=self._refine_track_filter(frames),
                 all_frames_between=self._kf_between(frames),
-                imu_cap=512,
+                imu_cap=128,
             )
             if self.marg is None:
                 self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
@@ -441,7 +516,7 @@ class SlidingWindowTracker:
 
         state, data, meta = extract_window(
             self.map, frames, self.K_sub, self.L_slots, self.noise,
-            track_filter=tf, imu_cap=512,
+            track_filter=tf, imu_cap=128,
         )
         # tracks anchored at the (fixed) keyframe act as priors: depth
         # fixed (reference create_reprojection_prior_factor)
@@ -460,7 +535,7 @@ class SlidingWindowTracker:
                 landmark_mask=jnp.asarray(lm_mask & tri),
                 fix_landmark=jnp.asarray(fix_lm | tri),
             )
-            opts = SolveOptions(iterations=self.config.solver_iteration_limit,
+            opts = SolveOptions(iterations=self._budgeted_iterations("subwindow_rot"),
                                 use_rotation=True)
             # rotation factors: only last subframe obs of untriangulated
             obs = meta.obs_mask.copy()
@@ -472,11 +547,11 @@ class SlidingWindowTracker:
             obs_rep = obs & keep & tri[None, :]
             data_r = data_r._replace(obs_mask=jnp.asarray(obs_rep | obs_rot))
             self.stats["rotation_solves"] += 1
-            st, _ = solve_window(state, data_r, opts)
+            st, _ = self._solve_timed("subwindow_rot", state, data_r, opts)
         else:
             data_r = data._replace(fix_landmark=jnp.asarray(fix_lm))
-            st, _ = solve_window(state, data_r, SolveOptions(
-                iterations=self.config.solver_iteration_limit))
+            st, _ = self._solve_timed("subwindow", state, data_r, SolveOptions(
+                iterations=self._budgeted_iterations("subwindow")))
         kf.fix_pose, kf.fix_motion = saved
         write_back(self.map, st, data_r, meta, write_landmarks=False)
 
@@ -647,7 +722,7 @@ class SlidingWindowTracker:
                 norm_scale=self.config.parsac_norm_scale, n_hyp=32,
             )
             pending.append((mask, nn, idxs))
-        for mask, nn, idxs in zip(jax.device_get([m for m, _, _ in pending]),
+        for mask, nn, idxs in zip(fetch_packed([m for m, _, _ in pending]),
                                   [nn for _, nn, _ in pending],
                                   [ix for _, _, ix in pending]):
             mask = np.asarray(mask)

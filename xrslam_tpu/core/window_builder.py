@@ -119,6 +119,25 @@ def triangulate_track(tr, frames_by_id) -> Optional[np.ndarray]:
     return h[:3] / h[3]
 
 
+# device-constant caches: every jnp.asarray/zeros at extract time is a
+# separate message to the tunneled device; these never change, so build
+# them once per (shape, dtype)
+_CONST_CACHE: dict = {}
+
+
+def _marg_zeros(K: int, dtype):
+    key = ("marg", K, jnp.dtype(dtype).name)
+    if key not in _CONST_CACHE:
+        _CONST_CACHE[key] = MargPrior.zeros(K, 0, dtype=dtype)
+    return _CONST_CACHE[key]
+
+
+def _false_scalar():
+    if "false" not in _CONST_CACHE:
+        _CONST_CACHE["false"] = jnp.zeros((), dtype=bool)
+    return _CONST_CACHE["false"]
+
+
 def extract_window(
     pmap: PipelineMap,
     frames: List[FrameRec],
@@ -130,9 +149,14 @@ def extract_window(
     imu_cap: int = 256,
     with_preint: bool = True,
     all_frames_between: Optional[List[List[FrameRec]]] = None,
-    dtype=jnp.float64,
+    dtype=None,
 ):
     """Build (WindowState, WindowData, WindowMeta) from `frames`.
+
+    `dtype=None` extracts in the canonical compute dtype — float64 when
+    x64 is enabled (CPU tests), float32 on the TPU (x64 unsupported
+    there; requesting f64 would truncate anyway, with a warning per
+    call).
 
     - landmark slots are filled with tracks passing `track_filter` that
       are observed by ≥1 window frame and whose first *window*
@@ -159,6 +183,10 @@ def _extract_window_impl(
     anchor_must_be_in_window, imu_cap, with_preint,
     all_frames_between, dtype,
 ):
+    import jax
+
+    if dtype is None:
+        dtype = jax.dtypes.canonicalize_dtype(jnp.float64)
     K = len(frames)
     assert K <= K_slots
     fid_to_slot = {f.id: i for i, f in enumerate(frames)}
@@ -260,13 +288,6 @@ def _extract_window_impl(
         pmask[j] = True
         bg_lin[j] = frames[j - 1].bg
         ba_lin[j] = frames[j - 1].ba
-    preint = pre.integrate_batch(
-        jnp.asarray(t_bufs, dtype=dtype), jnp.asarray(w_bufs, dtype=dtype),
-        jnp.asarray(a_bufs, dtype=dtype), jnp.asarray(t_ends, dtype=dtype),
-        jnp.asarray(bg_lin, dtype=dtype), jnp.asarray(ba_lin, dtype=dtype),
-        noise, jnp.asarray(counts),
-    )
-
     frame_mask = np.zeros((K_slots,), dtype=bool)
     frame_mask[:K] = True
     fix_pose = np.zeros((K_slots,), dtype=bool)
@@ -275,30 +296,47 @@ def _extract_window_impl(
         fix_pose[i] = f.fix_pose
         fix_motion[i] = f.fix_motion
 
-    state = WindowState(
-        q=jnp.asarray(q, dtype=dtype), p=jnp.asarray(p, dtype=dtype),
-        v=jnp.asarray(v, dtype=dtype), bg=jnp.asarray(bg, dtype=dtype),
-        ba=jnp.asarray(ba, dtype=dtype),
-        inv_depth=jnp.asarray(inv_depth, dtype=dtype),
-    )
+    # ONE packed host->device transfer for the whole extraction: the
+    # tunneled TPU pays multi-ms per device_put message, and the ~25
+    # separate uploads here used to cost more than the solve they feed
+    from ..utils.fetch import put_packed
+
+    npdt = np.dtype(jnp.dtype(dtype).name)
+    (q_d, p_d, v_d, bg_d, ba_d, invd_d, qbc_d, pbc_d, qbi_d, pbi_d,
+     bearings_d, w2_d, tb_d, wb_d, ab_d, te_d, bglin_d, balin_d,
+     obs_d, ref_d, pmask_d, fmask_d, fpose_d, fmot_d, lm_d, flm_d,
+     counts_d) = put_packed((
+         q.astype(npdt), p.astype(npdt), v.astype(npdt), bg.astype(npdt),
+         ba.astype(npdt), inv_depth.astype(npdt), q_bc.astype(npdt),
+         p_bc.astype(npdt), q_bi.astype(npdt), p_bi.astype(npdt),
+         bearings.astype(npdt), w2.astype(npdt), t_bufs.astype(npdt),
+         w_bufs.astype(npdt), a_bufs.astype(npdt), t_ends.astype(npdt),
+         bg_lin.astype(npdt), ba_lin.astype(npdt),
+         obs_mask, ref_idx, pmask, frame_mask, fix_pose, fix_motion,
+         lm_mask, np.zeros((L_slots,), dtype=bool), counts))
+
+    preint = pre.integrate_batch(tb_d, wb_d, ab_d, te_d, bglin_d, balin_d,
+                                 noise, counts_d)
+
+    state = WindowState(q=q_d, p=p_d, v=v_d, bg=bg_d, ba=ba_d,
+                        inv_depth=invd_d)
     data = WindowData(
-        q_bc=jnp.asarray(q_bc, dtype=dtype), p_bc=jnp.asarray(p_bc, dtype=dtype),
-        q_bi=jnp.asarray(q_bi, dtype=dtype), p_bi=jnp.asarray(p_bi, dtype=dtype),
-        bearings=jnp.asarray(bearings, dtype=dtype),
-        obs_mask=jnp.asarray(obs_mask),
-        ref_idx=jnp.asarray(ref_idx),
-        sqrt_inv_cov2=jnp.asarray(w2, dtype=dtype),
+        q_bc=qbc_d, p_bc=pbc_d, q_bi=qbi_d, p_bi=pbi_d,
+        bearings=bearings_d,
+        obs_mask=obs_d,
+        ref_idx=ref_d,
+        sqrt_inv_cov2=w2_d,
         preint=preint,
-        preint_mask=jnp.asarray(pmask),
-        bg_lin=jnp.asarray(bg_lin, dtype=dtype),
-        ba_lin=jnp.asarray(ba_lin, dtype=dtype),
-        frame_mask=jnp.asarray(frame_mask),
-        fix_pose=jnp.asarray(fix_pose),
-        fix_motion=jnp.asarray(fix_motion),
-        landmark_mask=jnp.asarray(lm_mask),
-        fix_landmark=jnp.zeros((L_slots,), dtype=bool),
-        marg=MargPrior.zeros(K_slots, 0, dtype=dtype),
-        use_marg=jnp.asarray(False),
+        preint_mask=pmask_d,
+        bg_lin=bglin_d,
+        ba_lin=balin_d,
+        frame_mask=fmask_d,
+        fix_pose=fpose_d,
+        fix_motion=fmot_d,
+        landmark_mask=lm_d,
+        fix_landmark=flm_d,
+        marg=_marg_zeros(K_slots, dtype),
+        use_marg=_false_scalar(),
     )
     meta = WindowMeta(frames=frames, track_ids=track_ids,
                       anchor_bearing=anchor_bearing,
@@ -309,23 +347,27 @@ def _extract_window_impl(
 
 def write_back(pmap: PipelineMap, state: WindowState, data: WindowData,
                meta: WindowMeta, write_landmarks: bool = True,
-               frame_subset: Optional[set] = None):
-    """Push optimized states back into the map."""
+               frame_subset: Optional[set] = None, extra=None):
+    """Push optimized states back into the map. `extra` is an optional
+    pytree of device arrays fetched in the SAME packed transfer as the
+    states and returned (host copies)."""
     from ..utils.timing import stage_timer
 
     with stage_timer("window_write_time"):
-        _write_back_impl(pmap, state, data, meta, write_landmarks,
-                         frame_subset)
+        return _write_back_impl(pmap, state, data, meta, write_landmarks,
+                                frame_subset, extra)
 
 
-def _write_back_impl(pmap, state, data, meta, write_landmarks, frame_subset):
-    import jax
+def _write_back_impl(pmap, state, data, meta, write_landmarks, frame_subset,
+                     extra=None):
+    from ..utils.fetch import fetch_packed
 
-    # ONE batched device fetch for everything the host needs: each
-    # separate np.asarray of a fresh device buffer costs a full tunnel
-    # round trip; a single device_get of the whole tree costs one.
-    qs, ps, vs, bgs, bas, invd = jax.device_get(
-        (state.q, state.p, state.v, state.bg, state.ba, state.inv_depth))
+    # ONE device fetch for everything the host needs: jax.device_get
+    # copies PER LEAF (6 tunnel round trips here); fetch_packed concats
+    # on device and pulls a single buffer.
+    qs, ps, vs, bgs, bas, invd, extra_out = fetch_packed(
+        (state.q, state.p, state.v, state.bg, state.ba, state.inv_depth,
+         extra))
     for i, f in enumerate(meta.frames):
         if frame_subset is not None and f.id not in frame_subset:
             continue
@@ -350,3 +392,4 @@ def _write_back_impl(pmap, state, data, meta, write_landmarks, frame_subset):
             d = max(float(invd[l]), 1e-9)
             x_c = meta.anchor_bearing[l] / d
             tr.p_w = nputil.quat_rotate(q_wc, x_c) + p_wc
+    return extra_out

@@ -301,6 +301,47 @@ def solve_window_core(
     return state, {"cost0": cost0, "cost": cost, "cost_history": cost_hist, "lambda": lam}
 
 
+@jax.jit
+def landmark_gates(state: WindowState, data: WindowData, fuv: jnp.ndarray):
+    """Post-solve landmark re-validation, on device (reference
+    sliding_window_tracker.cpp:325-352 runs the same depth/RPE gates as
+    a host loop over every track; at 256 landmark slots the host loop
+    costs ~90 ms/keyframe on a 2-CPU host while this is one fused
+    kernel fetched with the solve results).
+
+    fuv: (K,2) per-frame focal lengths (fu, fv).
+    Returns (ok (L,) bool, mean_rpe (L,) px): depth at every observing
+    window frame in (1e-3, 50] and mean reprojection error < 3 px.
+    """
+    from ..geometry import lie
+
+    q_wc = jax.vmap(lie.quat_mul)(state.q, data.q_bc)
+    p_wc = state.p + jax.vmap(lie.quat_rotate)(state.q, data.p_bc)
+    L = state.inv_depth.shape[0]
+    bref = jnp.take_along_axis(
+        data.bearings, data.ref_idx[None, :, None], axis=0)[0]  # (L,3)
+    q_ref = q_wc[data.ref_idx]
+    p_ref = p_wc[data.ref_idx]
+    d = jnp.maximum(state.inv_depth, 1e-9)
+    p_w = jax.vmap(lie.quat_rotate)(q_ref, bref / d[:, None]) + p_ref  # (L,3)
+
+    rel = p_w[None, :, :] - p_wc[:, None, :]                  # (K,L,3)
+    y = jax.vmap(jax.vmap(lie.quat_rotate_inv, in_axes=(None, 0)))(q_wc, rel)
+    m = data.obs_mask & data.landmark_mask[None, :]
+    z = jnp.where(jnp.abs(y[..., 2]) > 1e-12, y[..., 2], 1e-12)
+    b = data.bearings
+    bz = jnp.where(jnp.abs(b[..., 2]) > 1e-12, b[..., 2], 1e-12)
+    du = (y[..., 0] / z - b[..., 0] / bz) * fuv[:, None, 0]
+    dv = (y[..., 1] / z - b[..., 1] / bz) * fuv[:, None, 1]
+    rpe = jnp.hypot(du, dv)
+    cnt = jnp.sum(m, axis=0)
+    mean_rpe = jnp.sum(jnp.where(m, rpe, 0.0), axis=0) / jnp.maximum(cnt, 1)
+    depth_ok = jnp.all(jnp.where(m, (y[..., 2] > 1.0e-3) & (y[..., 2] <= 50.0),
+                                 True), axis=0)
+    ok = depth_ok & (mean_rpe < 3.0)
+    return ok, mean_rpe
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def solve_window(
     state: WindowState, data: WindowData, opts: SolveOptions = SolveOptions()

@@ -112,10 +112,15 @@ def _sep_filter(img: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) -> jnp.ndarr
     tiny ops and dominated the whole preprocessing stage on TPU."""
     rx, ry = kx.shape[0] // 2, ky.shape[0] // 2
     p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")[None, None]
+    # HIGHEST: TPU convs multiply in bf16 by default; pyramid images and
+    # Scharr gradients feed the sub-pixel LK iteration, where that
+    # quantization measurably costs KLT survivors (see klt.MM_BF16 note)
     p = jax.lax.conv_general_dilated(
-        p, kx.reshape(1, 1, 1, -1), (1, 1), "VALID")
+        p, kx.reshape(1, 1, 1, -1), (1, 1), "VALID",
+        precision=jax.lax.Precision.HIGHEST)
     p = jax.lax.conv_general_dilated(
-        p, ky.reshape(1, 1, -1, 1), (1, 1), "VALID")
+        p, ky.reshape(1, 1, -1, 1), (1, 1), "VALID",
+        precision=jax.lax.Precision.HIGHEST)
     return p[0, 0]
 
 
@@ -175,7 +180,8 @@ def harris_response(img: jnp.ndarray, k: float = 0.04, block_size: int = 3) -> j
     ky2d = jnp.outer(_SOBEL_D, _SOBEL_S).astype(dt)
     kgrad = jnp.stack([kx2d, ky2d])[:, None]           # (2,1,3,3)
     p = jnp.pad(img, 1, mode="edge")[None, None]
-    g = jax.lax.conv_general_dilated(p, kgrad, (1, 1), "VALID")[0]  # (2,H,W)
+    g = jax.lax.conv_general_dilated(p, kgrad, (1, 1), "VALID",
+                                     precision=jax.lax.Precision.HIGHEST)[0]  # (2,H,W)
     ix, iy = g[0], g[1]
 
     # channel conv #2: depthwise box sums of (ix², iy², ix·iy)
@@ -184,7 +190,8 @@ def harris_response(img: jnp.ndarray, k: float = 0.04, block_size: int = 3) -> j
     pp = jnp.pad(prods, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
     kbox = jnp.ones((3, 1, block_size, block_size), dtype=dt)
     s = jax.lax.conv_general_dilated(pp, kbox, (1, 1), "VALID",
-                                     feature_group_count=3)[0]
+                                     feature_group_count=3,
+                                     precision=jax.lax.Precision.HIGHEST)[0]
     sxx, syy, sxy = s[0], s[1], s[2]
     det = sxx * syy - sxy * sxy
     tr = sxx + syy

@@ -138,16 +138,17 @@ def _track_level(
 
 SEARCH = 64  # search-block side of the MXU level tracker
 
-# Run the selector·block·selectorᵀ window-sampling einsums of
-# _track_level_mxu in bfloat16 (f32 accumulation via
-# preferred_element_type). The MXU runs bf16 at ~2x the f32 rate; the
-# inputs are an image block in [0,255] and hat weights in [0,1], so the
-# ~0.4% bf16 quantization perturbs the sampled window by well under the
-# image noise the 0.5 px round-trip gate already absorbs. Override with
-# XR_KLT_MM=f32|bf16 (A/B: tools/ab_lk_backend.py).
+# Precision of the selector·block·selectorᵀ window-sampling einsums of
+# _track_level_mxu. Default: float32 operands at HIGHEST precision
+# (3-pass bf16 on the MXU). Measured on TPU v5e (120-frame synthetic
+# drive, r3): the bf16 fast path loses ~10% of the KLT survivors per
+# frame to reverse-consistency failures, which collapses track length
+# and delays VI initialization by ~60 frames — the 2x MXU rate is not
+# worth it on the default path. XR_KLT_MM=bf16 re-enables the fast path
+# for A/B (tools/ab_lk_backend.py).
 import os as _os
 
-MM_BF16 = _os.environ.get("XR_KLT_MM", "bf16") != "f32"
+MM_BF16 = _os.environ.get("XR_KLT_MM", "f32") == "bf16"
 
 # Run the reverse-consistency pass at pyramid level 0 only (see
 # track_keypoints). Flip to False to force the full-pyramid reverse
@@ -218,6 +219,11 @@ def _track_level_mxu(
     ly0 = guess[:, 1] - jy0
 
     mm_dt = jnp.bfloat16 if (MM_BF16 and dt == jnp.float32) else dt
+    # HIGHEST: true-f32 matmul passes when operands are f32 — the TPU
+    # einsum default multiplies in bf16, which is exactly the precision
+    # loss the f32 default above exists to avoid
+    mm_prec = jax.lax.Precision.DEFAULT if mm_dt == jnp.bfloat16 \
+        else jax.lax.Precision.HIGHEST
     S_mm = S_all.astype(mm_dt)
 
     # points whose system is unusable never converge by the step-size
@@ -233,6 +239,7 @@ def _track_level_mxu(
         C = hat_sel(cx)                                  # cols  (N,win,S)
         J = jnp.einsum("nrs,nst,nct->nrc",
                        R.astype(mm_dt), S_mm, C.astype(mm_dt),
+                       precision=mm_prec,
                        preferred_element_type=dt).astype(dt)
         diff = J - T
         bx = jnp.sum(diff * Ix, axis=(1, 2))
@@ -266,6 +273,7 @@ def _track_level_mxu(
         J = jnp.einsum("nrs,nst,nct->nrc",
                        hat_sel(cy).astype(mm_dt), S_mm,
                        hat_sel(cx).astype(mm_dt),
+                       precision=mm_prec,
                        preferred_element_type=dt).astype(dt)
         err = jnp.mean(jnp.abs(J - T), axis=(1, 2))
     else:

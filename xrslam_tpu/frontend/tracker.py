@@ -39,6 +39,7 @@ from ..core.detail import FeatureTrackerBase
 from ..core.map import FrameRec, PipelineMap
 from ..ransac import stereo as stereo_mod
 from ..utils import inspection
+from ..utils.fetch import fetch_packed
 from . import image as img_ops
 from . import klt
 
@@ -169,13 +170,20 @@ class KLTFeatureTracker(FeatureTrackerBase):
         self._Kinv_dev = None  # cached device K^-1 (intrinsics are fixed)
 
         cfg = config
-        self._preprocess = jax.jit(
-            lambda im: img_ops.build_pyramid(
-                img_ops.clahe(im * 255.0,
+        def _pre(im):
+            # uint8 on the wire (4x less host->device bandwidth than
+            # f32, and the reference feeds CLAHE an 8-bit Mat anyway —
+            # opencv_image.cpp:156-161); floats still accepted
+            imf = im.astype(jnp.float32) if im.dtype == jnp.uint8 \
+                else im * 255.0
+            return img_ops.build_pyramid(
+                img_ops.clahe(imf,
                               clip_limit=cfg.feature_tracker_clahe_clip_limit,
                               tiles_x=cfg.feature_tracker_clahe_width,
                               tiles_y=cfg.feature_tracker_clahe_height),
-                levels=pyramid_levels))
+                levels=pyramid_levels)
+
+        self._preprocess = jax.jit(_pre)
 
     # ------------------------------------------------------------------
     def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
@@ -188,7 +196,11 @@ class KLTFeatureTracker(FeatureTrackerBase):
         instead of ~7 (the tunnel RTT dominates sequence fps)."""
         image = getattr(frame, "_image", None)
         assert image is not None, "KLTFeatureTracker needs frame._image"
-        pyr = self._preprocess(jnp.asarray(image, dtype=jnp.float32))
+        if image.dtype != np.uint8:
+            im_dev = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        else:
+            im_dev = image
+        pyr = self._preprocess(jnp.asarray(im_dev))
 
         frame._pyr = pyr
         frame._pts = np.zeros((self.capacity, 2), dtype=np.float64)
@@ -210,7 +222,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
             fetch["cand"] = cand
             fetch["cvalid"] = cvalid
 
-        vals = jax.device_get(fetch) if fetch else {}
+        vals = fetch_packed(fetch) if fetch else {}  # ONE transfer
 
         if track_ctx is not None:
             self._finish_track(tracker_map, prev, frame, track_ctx, vals)
@@ -337,6 +349,9 @@ class KLTFeatureTracker(FeatureTrackerBase):
         slots, n = ctx["slots"], ctx["n"]
         nxt = np.asarray(vals["nxt"], dtype=np.float64)
         status = np.asarray(vals["status"]).copy()
+        if "status_klt" in vals:
+            self._dbg_gate = (int(np.asarray(vals["status_klt"]).sum()),
+                              int(status.sum()))
         status[n:] = False
         b_next = np.asarray(vals["b_next"], dtype=np.float64)
         if bool(vals["no_trans"]):

@@ -401,9 +401,9 @@ class Initializer:
         counts = np.zeros((n_int,), dtype=np.int32)
         for j in range(1, len(self.map.frames)):
             f = self.map.frames[j]
-            t_buf, w_buf, a_buf, n = interval_samples([f], cap)
+            t_buf, w_buf, a_buf, n, t0 = interval_samples([f], cap)
             t_bufs[j - 1], w_bufs[j - 1], a_bufs[j - 1] = t_buf, w_buf, a_buf
-            t_ends[j - 1] = f.t
+            t_ends[j - 1] = f.t - t0
             counts[j - 1] = n
         bg = np.broadcast_to(self.bg, (n_int, 3))
         ba = np.broadcast_to(self.ba, (n_int, 3))
@@ -469,6 +469,10 @@ class Initializer:
         self.gravity = g / max(np.linalg.norm(g), 1e-12) * GRAVITY_NOMINAL
         self.scale = float(x[3])
         self.velocities = [x[4 + i * 3: 7 + i * 3] for i in range(N)]
+        base = np.linalg.norm(self._cam_pose(self.map.frames[-1])[1]
+                              - self._cam_pose(self.map.frames[0])[1])
+        self._dbg(f"gravity_scale: s={self.scale:.5f} |g_raw|={np.linalg.norm(x[0:3]):.3f} "
+                  f"sfm_baseline={base:.4f} cond={np.linalg.cond(A):.1e}")
 
     def _refine_scale_velocity_via_gravity(self):
         """Refine on the S2 tangent of gravity (reference :467-517)."""
@@ -504,6 +508,7 @@ class Initializer:
             self.gravity = g / max(np.linalg.norm(g), 1e-12) * GRAVITY_NOMINAL
         self.scale = float(x[2])
         self.velocities = [x[3 + i * 3: 6 + i * 3] for i in range(N)]
+        self._dbg(f"refine_gravity: s={self.scale:.5f}")
 
     def _apply_init(self) -> bool:
         """Gravity-align, scale, set velocities/biases; re-triangulate

@@ -80,6 +80,9 @@ class SlidingWindowTracker:
         # iteration count to fit the budget)
         self._iter_seconds: dict = {}
         self._solve_calls: dict = {}
+        # deferred localize result: (device WindowState, target FrameRec,
+        # slot) — see localize_newframe(defer_write=True)
+        self._loc_result = None
         # event counters for inspection + the RD-VIO e2e proofs
         self.stats = {
             "subframe_lifts": 0,       # rotation/translation lift cases
@@ -198,13 +201,13 @@ class SlidingWindowTracker:
 
     def _predict_frame(self, frame_i: FrameRec, frame_j: FrameRec):
         cap = 256  # fixed shape: one compile of the predict path
-        t_buf, w_buf, a_buf, n = interval_samples([frame_j], cap)
+        t_buf, w_buf, a_buf, n, t0 = interval_samples([frame_j], cap)
         if n == 0:
             frame_j.q, frame_j.p, frame_j.v = frame_i.q.copy(), frame_i.p.copy(), frame_i.v.copy()
             frame_j.bg, frame_j.ba = frame_i.bg.copy(), frame_i.ba.copy()
             return
         d = pre.integrate(jnp.asarray(t_buf), jnp.asarray(w_buf), jnp.asarray(a_buf),
-                          jnp.asarray(frame_j.t), jnp.asarray(frame_i.bg),
+                          jnp.asarray(frame_j.t - t0), jnp.asarray(frame_i.bg),
                           jnp.asarray(frame_i.ba), self.noise, count=n,
                           compute_sqrt_inv=False)
         # compose at the IMU, then back to body (reference
@@ -228,9 +231,14 @@ class SlidingWindowTracker:
             with stage_timer("parsac_time"):
                 if self.judge_track_status():
                     self.update_track_status()
+        # localize defers its host write-back: on the (majority)
+        # subframe path the solved target state stays on device and is
+        # patched straight into the subwindow solve — one less blocking
+        # device->host sync per frame on the tunneled TPU
         with stage_timer("localize_newframe_time"):
-            self.localize_newframe()
+            self.localize_newframe(defer_write=True)
         if self.manage_keyframe():
+            self._materialize_localize()  # track_landmark needs the pose
             self.track_landmark()
             with stage_timer("bundle_adjustor_solve_time"):
                 self.refine_window()
@@ -239,13 +247,20 @@ class SlidingWindowTracker:
         else:
             with stage_timer("subwindow_solve_time"):
                 self.refine_subwindow()
+        self._loc_result = None
         return True
 
     # ------------------------------------------------------------------
-    def localize_newframe(self):
+    def localize_newframe(self, defer_write: bool = False):
         """Solve only the new frame against preintegration from the
         previous frame + reprojection priors of its triangulated static
-        tracks (reference :119-143)."""
+        tracks (reference :119-143).
+
+        With defer_write the solved state is NOT fetched: it is kept in
+        self._loc_result as (device_state, target_frame, slot) for the
+        follow-up solve to consume on device (subframe path) or for
+        _materialize_localize to fetch when the host genuinely needs the
+        pose (keyframe path)."""
         frames = list(self.map.frames)
         kf = frames[-2] if len(frames) >= 2 else frames[0]
         prev = kf.subframes[-1] if kf.subframes else kf
@@ -276,8 +291,45 @@ class SlidingWindowTracker:
             iterations=self._budgeted_iterations("localize")))
         for f, (fp, fm) in zip(wframes, saved):
             f.fix_pose, f.fix_motion = fp, fm
-        write_back(self.map, st, data, meta, write_landmarks=False,
-                   frame_subset={target.id})
+        if defer_write:
+            self._loc_result = (st, target, len(wframes) - 1)
+        else:
+            write_back(self.map, st, data, meta, write_landmarks=False,
+                       frame_subset={target.id})
+
+    def _materialize_localize(self):
+        """Fetch the deferred localize result into the target frame's
+        host record (one packed transfer)."""
+        if getattr(self, "_loc_result", None) is None:
+            return
+        st, target, slot = self._loc_result
+        self._loc_result = None
+        q, p, v, bg, ba = fetch_packed(
+            (st.q[slot], st.p[slot], st.v[slot], st.bg[slot], st.ba[slot]))
+        target.q = nputil.quat_normalize(q)
+        target.p = p
+        target.v = v
+        target.bg = bg
+        target.ba = ba
+
+    def _override_from_localize(self, state, frames):
+        """Patch the deferred localize target's state into another
+        window's slots, device-to-device (no host round trip)."""
+        loc = getattr(self, "_loc_result", None)
+        if loc is None:
+            return state
+        st_loc, target, slot = loc
+        try:
+            idx = frames.index(target)
+        except ValueError:
+            return state
+        return state._replace(
+            q=state.q.at[idx].set(st_loc.q[slot]),
+            p=state.p.at[idx].set(st_loc.p[slot]),
+            v=state.v.at[idx].set(st_loc.v[slot]),
+            bg=state.bg.at[idx].set(st_loc.bg[slot]),
+            ba=state.ba.at[idx].set(st_loc.ba[slot]),
+        )
 
     # ------------------------------------------------------------------
     def manage_keyframe(self) -> bool:
@@ -518,6 +570,9 @@ class SlidingWindowTracker:
             self.map, frames, self.K_sub, self.L_slots, self.noise,
             track_filter=tf, imu_cap=128,
         )
+        # feed the deferred localize solution of the newest subframe in
+        # on device (its host record still holds the IMU prediction)
+        state = self._override_from_localize(state, frames)
         # tracks anchored at the (fixed) keyframe act as priors: depth
         # fixed (reference create_reprojection_prior_factor)
         refs = meta.ref_idx

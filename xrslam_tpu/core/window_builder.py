@@ -46,7 +46,14 @@ class WindowMeta:
 
 def interval_samples(frames_between: List[FrameRec], cap: int):
     """Concatenate raw IMU samples of the given frames into a
-    fixed-capacity buffer (t (cap,), w (cap,3), a (cap,3), count)."""
+    fixed-capacity buffer (t (cap,), w (cap,3), a (cap,3), count, t0).
+
+    Timestamps are REBASED to the interval's first sample (t0, float64,
+    subtracted on the host): absolute EuRoC-era times (~1.4e9 s) have
+    ~128 s resolution in float32, so un-rebased buffers integrate to
+    dt=0 on the TPU — the bug that silently collapsed the f32 VI-init
+    scale to the 0.001 gate edge. Callers must pass end times relative
+    to t0 as well."""
     if frames_between:
         ts = np.concatenate([f.imu_t for f in frames_between])
         ws = np.concatenate([f.imu_w for f in frames_between])
@@ -59,14 +66,15 @@ def interval_samples(frames_between: List[FrameRec], cap: int):
     t_buf = np.zeros((cap,))
     w_buf = np.zeros((cap, 3))
     a_buf = np.zeros((cap, 3))
-    t_buf[:n] = ts[:n]
+    t0 = float(ts[0]) if n else 0.0
+    t_buf[:n] = ts[:n] - t0
     w_buf[:n] = ws[:n]
     a_buf[:n] = accs[:n]
     if n < len(ts):  # should not happen with a sane cap
         import warnings
 
         warnings.warn(f"IMU buffer overflow: {len(ts)} samples > cap {cap}")
-    return t_buf, w_buf, a_buf, n
+    return t_buf, w_buf, a_buf, n, t0
 
 
 def triangulate_track(tr, frames_by_id) -> Optional[np.ndarray]:
@@ -279,11 +287,11 @@ def _extract_window_impl(
             continue
         between = (all_frames_between[j] if all_frames_between is not None
                    else [frames[j]])
-        t_buf, w_buf, a_buf, n = interval_samples(between, imu_cap)
+        t_buf, w_buf, a_buf, n, t0 = interval_samples(between, imu_cap)
         if n == 0:
             continue
         t_bufs[j], w_bufs[j], a_bufs[j] = t_buf, w_buf, a_buf
-        t_ends[j] = frames[j].t
+        t_ends[j] = frames[j].t - t0
         counts[j] = n
         pmask[j] = True
         bg_lin[j] = frames[j - 1].bg

@@ -200,30 +200,46 @@ class SlidingWindowTracker:
         return True
 
     def _predict_frame(self, frame_i: FrameRec, frame_j: FrameRec):
+        from ..geometry import lie
+        from ..utils.fetch import put_packed
+
         cap = 256  # fixed shape: one compile of the predict path
         t_buf, w_buf, a_buf, n, t0 = interval_samples([frame_j], cap)
+        self._pred_dev = None
         if n == 0:
             frame_j.q, frame_j.p, frame_j.v = frame_i.q.copy(), frame_i.p.copy(), frame_i.v.copy()
             frame_j.bg, frame_j.ba = frame_i.bg.copy(), frame_i.ba.copy()
             return
-        d = pre.integrate(jnp.asarray(t_buf), jnp.asarray(w_buf), jnp.asarray(a_buf),
-                          jnp.asarray(frame_j.t - t0), jnp.asarray(frame_i.bg),
-                          jnp.asarray(frame_i.ba), self.noise, count=n,
-                          compute_sqrt_inv=False)
         # compose at the IMU, then back to body (reference
         # preintegrator.cpp:102-112 predict on imu poses)
         q_i = nputil.quat_mul(frame_i.q, frame_i.q_bi)
         p_i = frame_i.p + nputil.quat_rotate(frame_i.q, frame_i.p_bi)
-        qj, pj, vj, _, _ = pre.predict(jnp.asarray(q_i), jnp.asarray(p_i),
-                                       jnp.asarray(frame_i.v),
-                                       jnp.asarray(frame_i.bg), jnp.asarray(frame_i.ba), d)
-        qj, pj, vj = fetch_packed((qj, pj, vj))  # one transfer
-        q_b = nputil.quat_normalize(nputil.quat_mul(qj, nputil.quat_conj(frame_j.q_bi)))
-        frame_j.q = q_b
-        frame_j.p = pj - nputil.quat_rotate(q_b, frame_j.p_bi)
-        frame_j.v = vj
+        (t_d, w_d, a_d, te_d, qi_d, pi_d, vi_d, bg_d, ba_d, qbi_d,
+         pbi_d) = put_packed((t_buf, w_buf, a_buf,
+                              np.asarray(frame_j.t - t0), q_i, p_i,
+                              frame_i.v, frame_i.bg, frame_i.ba,
+                              frame_j.q_bi, frame_j.p_bi))
+        d = pre.integrate(t_d, w_d, a_d, te_d, bg_d, ba_d, self.noise,
+                          count=n, compute_sqrt_inv=False)
+        qj, pj, vj, _, _ = pre.predict(qi_d, pi_d, vi_d, bg_d, ba_d, d)
+        q_b_dev = lie.quat_normalize(lie.quat_mul(qj, lie.quat_conj(qbi_d)))
+        p_b_dev = pj - lie.quat_rotate(q_b_dev, pbi_d)
         frame_j.bg = frame_i.bg.copy()
         frame_j.ba = frame_i.ba.copy()
+        if self.config.parsac_flag:
+            # PARSAC's prior-pose PnP needs the predicted pose on host
+            q_b, p_b, vj_h = fetch_packed((q_b_dev, p_b_dev, vj))
+            frame_j.q = nputil.quat_normalize(q_b)
+            frame_j.p = p_b
+            frame_j.v = vj_h
+        else:
+            # keep the prediction on device: localize patches it into
+            # its target slot; host values (used only as upload
+            # placeholders until the frame's final write_back) hold the
+            # previous frame's state
+            frame_j.q, frame_j.p = frame_i.q.copy(), frame_i.p.copy()
+            frame_j.v = frame_i.v.copy()
+            self._pred_dev = (frame_j, q_b_dev, p_b_dev, vj)
 
     # ------------------------------------------------------------------
     def track(self) -> bool:
@@ -280,6 +296,16 @@ class SlidingWindowTracker:
             track_filter=lambda t: t.all_tagged("valid", "triangulated", "static"),
             with_preint=True, imu_cap=96,
         )
+        # device-resident IMU prediction of the target (parsac-off path)
+        pd = getattr(self, "_pred_dev", None)
+        if pd is not None and pd[0] is target:
+            slot = len(wframes) - 1
+            state = state._replace(
+                q=state.q.at[slot].set(pd[1].astype(state.q.dtype)),
+                p=state.p.at[slot].set(pd[2].astype(state.p.dtype)),
+                v=state.v.at[slot].set(pd[3].astype(state.v.dtype)),
+            )
+            self._pred_dev = None
         # only the last preint entry (prev -> target) is a factor
         pm = np.zeros((self.K_slots + 2,), dtype=bool)
         pm[len(wframes) - 1] = bool(meta.preint_mask[len(wframes) - 1])

@@ -148,7 +148,8 @@ SEARCH = 64  # search-block side of the MXU level tracker
 # for A/B (tools/ab_lk_backend.py).
 import os as _os
 
-MM_BF16 = _os.environ.get("XR_KLT_MM", "f32") == "bf16"
+_MM_MODE = _os.environ.get("XR_KLT_MM", "f32")
+MM_BF16 = _MM_MODE == "bf16"
 
 # Run the reverse-consistency pass at pyramid level 0 only (see
 # track_keypoints). Flip to False to force the full-pyramid reverse
@@ -222,8 +223,9 @@ def _track_level_mxu(
     # HIGHEST: true-f32 matmul passes when operands are f32 — the TPU
     # einsum default multiplies in bf16, which is exactly the precision
     # loss the f32 default above exists to avoid
-    mm_prec = jax.lax.Precision.DEFAULT if mm_dt == jnp.bfloat16 \
-        else jax.lax.Precision.HIGHEST
+    mm_prec = (jax.lax.Precision.DEFAULT if mm_dt == jnp.bfloat16
+               else jax.lax.Precision.HIGH if _MM_MODE == "high"
+               else jax.lax.Precision.HIGHEST)
     S_mm = S_all.astype(mm_dt)
 
     # points whose system is unusable never converge by the step-size

@@ -151,6 +151,19 @@ def detect_no_translation(key, bearings_prev, bearings_next, valid, cfg) -> bool
     return misalignment < cfg.rotation_misalignment_threshold
 
 
+@partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y",
+                                   "levels"))
+def _preprocess_image(im, clip_limit, tiles_x, tiles_y, levels):
+    """CLAHE + pyramid. uint8 on the wire (4x less host->device
+    bandwidth than f32, and the reference feeds CLAHE an 8-bit Mat
+    anyway — opencv_image.cpp:156-161); floats still accepted."""
+    imf = im.astype(jnp.float32) if im.dtype == jnp.uint8 else im * 255.0
+    return img_ops.build_pyramid(
+        img_ops.clahe(imf, clip_limit=clip_limit, tiles_x=tiles_x,
+                      tiles_y=tiles_y),
+        levels=levels)
+
+
 class KLTFeatureTracker(FeatureTrackerBase):
     """Feeds the pipeline map from raw grayscale images.
 
@@ -170,20 +183,15 @@ class KLTFeatureTracker(FeatureTrackerBase):
         self._Kinv_dev = None  # cached device K^-1 (intrinsics are fixed)
 
         cfg = config
-        def _pre(im):
-            # uint8 on the wire (4x less host->device bandwidth than
-            # f32, and the reference feeds CLAHE an 8-bit Mat anyway —
-            # opencv_image.cpp:156-161); floats still accepted
-            imf = im.astype(jnp.float32) if im.dtype == jnp.uint8 \
-                else im * 255.0
-            return img_ops.build_pyramid(
-                img_ops.clahe(imf,
-                              clip_limit=cfg.feature_tracker_clahe_clip_limit,
-                              tiles_x=cfg.feature_tracker_clahe_width,
-                              tiles_y=cfg.feature_tracker_clahe_height),
-                levels=pyramid_levels)
-
-        self._preprocess = jax.jit(_pre)
+        # module-level jit keyed by static CLAHE params: a per-instance
+        # jax.jit closure would recompile the (large, ~13 s) CLAHE
+        # program for every new tracker/pipeline instance
+        self._preprocess = partial(
+            _preprocess_image,
+            clip_limit=float(cfg.feature_tracker_clahe_clip_limit),
+            tiles_x=int(cfg.feature_tracker_clahe_width),
+            tiles_y=int(cfg.feature_tracker_clahe_height),
+            levels=int(pyramid_levels))
 
     # ------------------------------------------------------------------
     def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:

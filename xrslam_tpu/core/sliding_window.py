@@ -27,7 +27,8 @@ import numpy as np
 
 from ..config import Config
 from ..estimation.marginalization import marginalize_frame as marginalize_window_frame
-from ..estimation.solver import SolveOptions, landmark_gates, solve_window
+from ..estimation.solver import (SolveOptions, landmark_gates,
+                                 solve_chained, solve_window)
 from ..estimation.window import ES_SIZE, MargPrior
 from ..imu import preintegration as pre
 from ..ransac import parsac as parsac_mod
@@ -247,13 +248,21 @@ class SlidingWindowTracker:
             with stage_timer("parsac_time"):
                 if self.judge_track_status():
                     self.update_track_status()
-        # localize defers its host write-back: on the (majority)
-        # subframe path the solved target state stays on device and is
-        # patched straight into the subwindow solve — one less blocking
-        # device->host sync per frame on the tunneled TPU
-        with stage_timer("localize_newframe_time"):
-            self.localize_newframe(defer_write=True)
-        if self.manage_keyframe():
+        # the keyframe/subframe decision is computed first (it never
+        # depends on the localize result); on the (majority) subframe
+        # path BOTH backend solves — the new-frame localization and the
+        # subwindow refine — run on the subwindow's arrays as ONE fused
+        # device program (solve_chained): one extraction, one dispatch,
+        # one fetch per frame instead of three blocking syncs on the
+        # tunneled TPU
+        if self._keyframe_decision():
+            with stage_timer("localize_newframe_time"):
+                self.localize_newframe(defer_write=True)
+            if not self.manage_keyframe():  # never diverges by design
+                self._materialize_localize()
+                with stage_timer("subwindow_solve_time"):
+                    self.refine_subwindow()
+                return True
             self._materialize_localize()  # track_landmark needs the pose
             self.track_landmark()
             with stage_timer("bundle_adjustor_solve_time"):
@@ -261,22 +270,77 @@ class SlidingWindowTracker:
             with stage_timer("bundle_adjustor_marginalization_time"):
                 self.slide_window()
         else:
+            target = self.map.frames[-1]
+            if self.manage_keyframe():  # never diverges by design
+                with stage_timer("localize_newframe_time"):
+                    self.localize_newframe(defer_write=True)
+                self._materialize_localize()
+                self.track_landmark()
+                with stage_timer("bundle_adjustor_solve_time"):
+                    self.refine_window()
+                with stage_timer("bundle_adjustor_marginalization_time"):
+                    self.slide_window()
+                self._loc_result = None
+                return True
             with stage_timer("subwindow_solve_time"):
-                self.refine_subwindow()
+                self._fused_subframe_step(target)
         self._loc_result = None
         return True
 
-    # ------------------------------------------------------------------
-    def localize_newframe(self, defer_write: bool = False):
-        """Solve only the new frame against preintegration from the
-        previous frame + reprojection priors of its triangulated static
-        tracks (reference :119-143).
+    def _fused_subframe_step(self, target: FrameRec):
+        """Localize + subwindow refine as one device program over the
+        subwindow arrays. The localize stage is the same math as
+        localize_newframe (reference :119-143) expressed as a fix-mask
+        variant of the subwindow system: every frame but the target
+        fixed, every landmark fixed, preintegration only prev→target —
+        tracks observed by the target always have their previous-frame
+        observation in the subwindow (KLT chains are contiguous), so the
+        reprojection-prior set matches the full-window extraction."""
+        prep = self._prepare_subwindow()
+        if prep is None:  # no subframes (unreachable on this path)
+            self.localize_newframe(defer_write=True)
+            self._materialize_localize()
+            return
+        s_state, s_data, s_meta, s_opts, variant, kf, saved = prep
+        frames = s_meta.frames
+        s2 = len(frames) - 1
+        assert frames[s2] is target
+        K = self.K_sub
+        pm = np.zeros((K,), dtype=bool)
+        pm[s2] = bool(s_meta.preint_mask[s2])
+        fix = np.ones((K,), dtype=bool)
+        fix[s2] = False
+        l_data = s_data._replace(
+            preint_mask=jnp.asarray(pm),
+            fix_pose=jnp.asarray(fix),
+            fix_motion=jnp.asarray(fix),
+            fix_landmark=jnp.ones_like(s_data.fix_landmark),
+            obs_mask=jnp.asarray(s_meta.obs_mask),          # pre-variant obs
+            landmark_mask=jnp.asarray(s_meta.landmark_mask),
+        )
+        if variant == "subwindow_rot":
+            # reprojection priors only exist for triangulated statics
+            l_data = l_data._replace(landmark_mask=s_data.landmark_mask)
+        l_state = self._apply_pred(s_state, frames)
+        l_opts = SolveOptions(iterations=self._budgeted_iterations("localize"))
+        limit = self.config.solver_time_limit
+        if bool(limit) and limit > 0 and limit < 1.0e5:
+            st1, _ = self._solve_timed("localize", l_state, l_data, l_opts)
+            self._loc_result = (st1, target, s2)
+            s_state = self._override_from_localize(s_state, frames)
+            st2, _ = self._solve_timed(variant, s_state, s_data, s_opts)
+        else:
+            _, st2, _ = solve_chained(
+                l_state, l_data, l_opts, s_state, s_data, s_opts,
+                jnp.asarray(s2, jnp.int32), jnp.asarray(s2, jnp.int32))
+        kf.fix_pose, kf.fix_motion = saved
+        write_back(self.map, st2, s_data, s_meta, write_landmarks=False)
 
-        With defer_write the solved state is NOT fetched: it is kept in
-        self._loc_result as (device_state, target_frame, slot) for the
-        follow-up solve to consume on device (subframe path) or for
-        _materialize_localize to fetch when the host genuinely needs the
-        pose (keyframe path)."""
+    # ------------------------------------------------------------------
+    def _prepare_localize(self):
+        """Host half of localize_newframe: window extraction + factor
+        masking + the device-resident IMU-prediction patch. Returns
+        (state, data, meta, target, slot)."""
         frames = list(self.map.frames)
         kf = frames[-2] if len(frames) >= 2 else frames[0]
         prev = kf.subframes[-1] if kf.subframes else kf
@@ -296,16 +360,10 @@ class SlidingWindowTracker:
             track_filter=lambda t: t.all_tagged("valid", "triangulated", "static"),
             with_preint=True, imu_cap=96,
         )
+        for f, (fp, fm) in zip(wframes, saved):
+            f.fix_pose, f.fix_motion = fp, fm
         # device-resident IMU prediction of the target (parsac-off path)
-        pd = getattr(self, "_pred_dev", None)
-        if pd is not None and pd[0] is target:
-            slot = len(wframes) - 1
-            state = state._replace(
-                q=state.q.at[slot].set(pd[1].astype(state.q.dtype)),
-                p=state.p.at[slot].set(pd[2].astype(state.p.dtype)),
-                v=state.v.at[slot].set(pd[3].astype(state.v.dtype)),
-            )
-            self._pred_dev = None
+        state = self._apply_pred(state, wframes)
         # only the last preint entry (prev -> target) is a factor
         pm = np.zeros((self.K_slots + 2,), dtype=bool)
         pm[len(wframes) - 1] = bool(meta.preint_mask[len(wframes) - 1])
@@ -313,12 +371,23 @@ class SlidingWindowTracker:
             preint_mask=jnp.asarray(pm),
             fix_landmark=jnp.ones_like(data.fix_landmark),
         )
+        return state, data, meta, target, len(wframes) - 1
+
+    def localize_newframe(self, defer_write: bool = False):
+        """Solve only the new frame against preintegration from the
+        previous frame + reprojection priors of its triangulated static
+        tracks (reference :119-143).
+
+        With defer_write the solved state is NOT fetched: it is kept in
+        self._loc_result as (device_state, target_frame, slot) for the
+        follow-up solve to consume on device (subframe path) or for
+        _materialize_localize to fetch when the host genuinely needs the
+        pose (keyframe path)."""
+        state, data, meta, target, slot = self._prepare_localize()
         st, _ = self._solve_timed("localize", state, data, SolveOptions(
             iterations=self._budgeted_iterations("localize")))
-        for f, (fp, fm) in zip(wframes, saved):
-            f.fix_pose, f.fix_motion = fp, fm
         if defer_write:
-            self._loc_result = (st, target, len(wframes) - 1)
+            self._loc_result = (st, target, slot)
         else:
             write_back(self.map, st, data, meta, write_landmarks=False,
                        frame_subset={target.id})
@@ -337,6 +406,24 @@ class SlidingWindowTracker:
         target.v = v
         target.bg = bg
         target.ba = ba
+
+    def _apply_pred(self, state, frames):
+        """Patch the device-resident IMU prediction into the window slot
+        holding its frame (host record still carries the previous
+        frame's state on the parsac-off path)."""
+        pd = getattr(self, "_pred_dev", None)
+        if pd is None:
+            return state
+        try:
+            idx = frames.index(pd[0])
+        except ValueError:
+            return state
+        self._pred_dev = None
+        return state._replace(
+            q=state.q.at[idx].set(pd[1].astype(state.q.dtype)),
+            p=state.p.at[idx].set(pd[2].astype(state.p.dtype)),
+            v=state.v.at[idx].set(pd[3].astype(state.v.dtype)),
+        )
 
     def _override_from_localize(self, state, frames):
         """Patch the deferred localize target's state into another
@@ -358,6 +445,29 @@ class SlidingWindowTracker:
         )
 
     # ------------------------------------------------------------------
+    def _keyframe_decision(self) -> bool:
+        """Pure (non-mutating) twin of manage_keyframe's return value —
+        lets track() pick the fused subframe path before any map
+        mutation."""
+        kf_i = self.map.frames[-2]
+        new_j = self.map.frames[-1]
+        cfg = self.config
+        if kf_i.subframes:
+            if kf_i.subframes[-1].no_translation:
+                if not new_j.no_translation:
+                    return True
+            else:
+                if new_j.no_translation:
+                    return True
+                if len(kf_i.subframes) >= cfg.sliding_window_subframe_size:
+                    return True
+        mapped = 0
+        for k in np.nonzero(new_j.track_ids >= 0)[0]:
+            tr = self.map.tracks.get(int(new_j.track_ids[k]))
+            if tr is not None and tr.all_tagged("valid", "triangulated", "static"):
+                mapped += 1
+        return mapped < cfg.sliding_window_force_keyframe_landmarks
+
     def manage_keyframe(self) -> bool:
         """Subframe/keyframe state machine incl. pure-rotation handling
         (reference :145-223). Returns True if the new frame (or a lifted
@@ -550,9 +660,25 @@ class SlidingWindowTracker:
     def refine_subwindow(self):
         """Subframe-only optimization; rotation-only variant for
         pure-rotation subframes (reference :370-465)."""
+        prep = self._prepare_subwindow()
+        if prep is None:
+            return
+        state, data_r, meta, opts, variant, kf, saved = prep
+        # feed the deferred localize solution of the newest subframe in
+        # on device (its host record still holds the IMU prediction)
+        state = self._override_from_localize(state, meta.frames)
+        st, _ = self._solve_timed(variant, state, data_r, opts)
+        kf.fix_pose, kf.fix_motion = saved
+        write_back(self.map, st, data_r, meta, write_landmarks=False)
+
+    def _prepare_subwindow(self):
+        """Host half of refine_subwindow: subframe merge + window
+        extraction + factor masking. Returns (state, data, meta, opts,
+        variant, kf, saved_fix_flags) or None when there is nothing to
+        solve."""
         kf = self.map.frames[-1]
         if not kf.subframes:
-            return
+            return None
         rotation_mode = kf.subframes[0].no_translation
 
         if rotation_mode and len(kf.subframes) >= 9:
@@ -596,9 +722,6 @@ class SlidingWindowTracker:
             self.map, frames, self.K_sub, self.L_slots, self.noise,
             track_filter=tf, imu_cap=128,
         )
-        # feed the deferred localize solution of the newest subframe in
-        # on device (its host record still holds the IMU prediction)
-        state = self._override_from_localize(state, frames)
         # tracks anchored at the (fixed) keyframe act as priors: depth
         # fixed (reference create_reprojection_prior_factor)
         refs = meta.ref_idx
@@ -628,13 +751,12 @@ class SlidingWindowTracker:
             obs_rep = obs & keep & tri[None, :]
             data_r = data_r._replace(obs_mask=jnp.asarray(obs_rep | obs_rot))
             self.stats["rotation_solves"] += 1
-            st, _ = self._solve_timed("subwindow_rot", state, data_r, opts)
+            variant = "subwindow_rot"
         else:
             data_r = data._replace(fix_landmark=jnp.asarray(fix_lm))
-            st, _ = self._solve_timed("subwindow", state, data_r, SolveOptions(
-                iterations=self._budgeted_iterations("subwindow")))
-        kf.fix_pose, kf.fix_motion = saved
-        write_back(self.map, st, data_r, meta, write_landmarks=False)
+            opts = SolveOptions(iterations=self._budgeted_iterations("subwindow"))
+            variant = "subwindow"
+        return state, data_r, meta, opts, variant, kf, saved
 
     # ------------------------------------------------------------------
     # PARSAC dynamic-object rejection (reference :578-790)

@@ -301,6 +301,32 @@ def solve_window_core(
     return state, {"cost0": cost0, "cost": cost, "cost_history": cost_hist, "lambda": lam}
 
 
+@partial(jax.jit, static_argnames=("opts1", "opts2"))
+def solve_chained(state1: WindowState, data1: WindowData, opts1: SolveOptions,
+                  state2: WindowState, data2: WindowData, opts2: SolveOptions,
+                  s1, s2):
+    """Two window solves in ONE device program: solve window 1 (the
+    new-frame localization), inject its frame-`s1` state into window
+    2's slot `s2`, solve window 2 (the subwindow refine). This is the
+    subframe path of SlidingWindowTracker.track() fused to a single
+    dispatch + a single fetch — on the tunneled TPU each extra blocking
+    sync costs a full ~25 ms round trip. s1/s2 are traced scalars so
+    varying window sizes reuse one executable."""
+    st1, _ = solve_window_core(state1, data1, opts1)
+
+    def put(dst, src):
+        row = jax.lax.dynamic_index_in_dim(src, s1, axis=0, keepdims=True)
+        return jax.lax.dynamic_update_slice(
+            dst, row.astype(dst.dtype), (s2,) + (0,) * (dst.ndim - 1))
+
+    state2 = state2._replace(
+        q=put(state2.q, st1.q), p=put(state2.p, st1.p),
+        v=put(state2.v, st1.v), bg=put(state2.bg, st1.bg),
+        ba=put(state2.ba, st1.ba))
+    st2, info2 = solve_window_core(state2, data2, opts2)
+    return st1, st2, info2
+
+
 @jax.jit
 def landmark_gates(state: WindowState, data: WindowData, fuv: jnp.ndarray):
     """Post-solve landmark re-validation, on device (reference

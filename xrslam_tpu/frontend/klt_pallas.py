@@ -14,8 +14,10 @@ guess. Points that would drift further are exactly the ones the
 displacement/reverse-consistency gates (klt.track_keypoints,
 reference opencv_image.cpp:117-141) reject anyway.
 
-Used automatically on TPU (see klt.lk_flow); CPU falls back to the XLA
-path.
+NOT the default TPU path: the hat-selector MXU formulation
+(klt._track_level_mxu) won the on-chip A/B and klt.lk_flow selects it;
+set XR_LK_BACKEND=pallas to run this kernel instead
+(tools/ab_lk_backend.py records the comparison).
 """
 
 from __future__ import annotations

@@ -316,8 +316,9 @@ def solve_chained(state1: WindowState, data1: WindowData, opts1: SolveOptions,
 
     def put(dst, src):
         row = jax.lax.dynamic_index_in_dim(src, s1, axis=0, keepdims=True)
+        zero = jnp.zeros((), dtype=jnp.asarray(s2).dtype)  # match index dtypes
         return jax.lax.dynamic_update_slice(
-            dst, row.astype(dst.dtype), (s2,) + (0,) * (dst.ndim - 1))
+            dst, row.astype(dst.dtype), (s2,) + (zero,) * (dst.ndim - 1))
 
     state2 = state2._replace(
         q=put(state2.q, st1.q), p=put(state2.p, st1.p),

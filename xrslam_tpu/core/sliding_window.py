@@ -576,7 +576,13 @@ class SlidingWindowTracker:
                        + [[1.0, 1.0]] * (self.K_slots - len(frames)))
         gates = landmark_gates(st, data, jnp.asarray(fuv, dtype=st.p.dtype))
         ok, _rpe = write_back(self.map, st, data, meta, extra=gates)
-        self._last_window = (st, data, meta)
+        # keep the solved window for slide_window's marginalization;
+        # landmarks the gates just rejected must not contribute to the
+        # prior (the re-extraction path would exclude them), so mask
+        # them out with the DEVICE ok flags
+        self._last_window = (
+            st, data._replace(landmark_mask=data.landmark_mask & gates[0]),
+            meta)
         self._apply_landmark_gates(meta, np.asarray(ok))
 
     def _refine_track_filter(self, frames):
@@ -638,15 +644,34 @@ class SlidingWindowTracker:
         """Marginalize the oldest keyframe(s) (reference :360-368)."""
         while len(self.map.frames) > self.config.sliding_window_size:
             frames = list(self.map.frames)
-            state, data, meta = extract_window(
-                self.map, frames, self.K_slots, self.L_slots, self.noise,
-                track_filter=self._refine_track_filter(frames),
-                all_frames_between=self._kf_between(frames),
-                imu_cap=128,
-            )
-            if self.marg is None:
-                self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
-            data = data._replace(marg=self.marg, use_marg=jnp.asarray(True))
+            last = getattr(self, "_last_window", None)
+            if last is not None and last[2].frames == frames \
+                    and last[2].imu_dev is not None:
+                # refine_window just solved THIS window: marginalize at
+                # its device-resident solution, re-integrating the kept
+                # IMU buffers at the SOLVED bias linearization — the
+                # same numbers the re-extraction would produce, minus
+                # the host rebuild and the ~100 KB re-upload
+                st, data, meta = last
+                tb, wb, ab, te, cnt = meta.imu_dev
+                bg_lin = jnp.concatenate([st.bg[:1], st.bg[:-1]], axis=0)
+                ba_lin = jnp.concatenate([st.ba[:1], st.ba[:-1]], axis=0)
+                preint = pre.integrate_batch(tb, wb, ab, te, bg_lin, ba_lin,
+                                             self.noise, cnt)
+                state = st
+                data = data._replace(preint=preint, bg_lin=bg_lin,
+                                     ba_lin=ba_lin)
+            else:
+                state, data, meta = extract_window(
+                    self.map, frames, self.K_slots, self.L_slots, self.noise,
+                    track_filter=self._refine_track_filter(frames),
+                    all_frames_between=self._kf_between(frames),
+                    imu_cap=128,
+                )
+                if self.marg is None:
+                    self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
+                data = data._replace(marg=self.marg, use_marg=jnp.asarray(True))
+            self._last_window = None
             self.marg = marginalize_window_frame(state, data, victim=0)
             victim = self.map.frames[0]
             for sub in victim.subframes:

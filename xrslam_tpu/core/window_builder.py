@@ -42,6 +42,9 @@ class WindowMeta:
     landmark_mask: np.ndarray     # (L,) bool
     obs_mask: np.ndarray          # (K,L) bool
     preint_mask: np.ndarray       # (K,) bool
+    imu_dev: tuple = None         # device (t,w,a,t_end,count) buffers — lets
+                                  # a follow-up stage re-integrate at new
+                                  # bias linearization without re-upload
 
 
 def interval_samples(frames_between: List[FrameRec], cap: int):
@@ -323,6 +326,7 @@ def _extract_window_impl(
          obs_mask, ref_idx, pmask, frame_mask, fix_pose, fix_motion,
          lm_mask, np.zeros((L_slots,), dtype=bool), counts))
 
+    imu_dev = (tb_d, wb_d, ab_d, te_d, counts_d)
     preint = pre.integrate_batch(tb_d, wb_d, ab_d, te_d, bglin_d, balin_d,
                                  noise, counts_d)
 
@@ -349,7 +353,8 @@ def _extract_window_impl(
     meta = WindowMeta(frames=frames, track_ids=track_ids,
                       anchor_bearing=anchor_bearing,
                       ref_idx=ref_idx, landmark_mask=lm_mask,
-                      obs_mask=obs_mask, preint_mask=pmask)
+                      obs_mask=obs_mask, preint_mask=pmask,
+                      imu_dev=imu_dev)
     return state, data, meta
 
 

@@ -252,3 +252,124 @@ def test_landmark_gates():
     neg = st._replace(inv_depth=st.inv_depth.at[l0].set(-1.0))
     ok3, _ = landmark_gates(neg, data, fuv)
     assert not bool(ok3[l0])
+
+
+def test_landmark_gates_match_host():
+    """Device landmark_gates vs the host twin
+    SlidingWindowTracker._revalidate_landmarks on the SAME window: the
+    verdicts must agree track by track (the host pass covers tracks
+    outside the window landmark slots; parity keeps the two gate
+    implementations interchangeable)."""
+    from xrslam_tpu.config import Config
+    from xrslam_tpu.core.map import FrameRec, PipelineMap, TrackRec
+    from xrslam_tpu.core.sliding_window import SlidingWindowTracker
+    from xrslam_tpu.core.window_builder import extract_window
+    from xrslam_tpu.estimation.solver import landmark_gates
+    from xrslam_tpu.imu import preintegration as pre
+
+    rng = np.random.default_rng(3)
+    f_px = 450.0
+    Kmat = np.array([[f_px, 0, 376.0], [0, f_px, 240.0], [0, 0, 1.0]])
+    n_f, n_l = 5, 24
+    lms = np.stack([rng.uniform(-1.5, 1.5, n_l),
+                    rng.uniform(-1.0, 1.0, n_l),
+                    rng.uniform(3.0, 8.0, n_l)], axis=1)
+    pmap = PipelineMap()
+    frames = []
+    for j in range(n_f):
+        p_f = np.array([0.15 * j, 0.02 * j, 0.0])
+        bearings = lms - p_f
+        bearings /= np.linalg.norm(bearings, axis=1, keepdims=True)
+        f = FrameRec(
+            id=j, t=0.05 * j,
+            q=np.array([1.0, 0, 0, 0]), p=p_f, v=np.zeros(3),
+            bg=np.zeros(3), ba=np.zeros(3),
+            q_bc=np.array([1.0, 0, 0, 0]), p_bc=np.zeros(3),
+            q_bi=np.array([1.0, 0, 0, 0]), p_bi=np.zeros(3),
+            K=Kmat, sqrt_inv_cov2=np.eye(2),
+            bearings=bearings,
+            track_ids=np.arange(1, n_l + 1, dtype=np.int64),
+            imu_t=np.linspace(0.05 * j - 0.05, 0.05 * j, 10, endpoint=False)
+            if j else np.zeros((0,)),
+            imu_w=np.zeros((10, 3)) if j else np.zeros((0, 3)),
+            imu_a=np.tile(np.array([0, 0, 9.81]), (10, 1)) if j
+            else np.zeros((0, 3)),
+            keyframe=True,
+        )
+        frames.append(f)
+        pmap.attach_frame(f)
+    for l in range(n_l):
+        tr = TrackRec(id=l + 1)
+        tr.valid = tr.triangulated = tr.static = True
+        # corrupt a third of the landmarks: depth error (RPE gate) or
+        # a behind-camera point (cheirality gate)
+        if l % 3 == 0:
+            tr.p_w = lms[l] * (1.45 if l % 6 else -0.2)
+        else:
+            tr.p_w = lms[l].copy()
+        for j in range(n_f):
+            tr.obs[j] = l
+        pmap.tracks[tr.id] = tr
+
+    swt = SlidingWindowTracker(pmap, Config(camera_intrinsic=Kmat))
+    state, data, meta = extract_window(
+        pmap, frames, swt.K_slots, 32,
+        pre.ImuNoise.isotropic(1e-4, 1e-2, 1e-8, 1e-6),
+        track_filter=lambda t: t.all_tagged("valid", "triangulated", "static"),
+    )
+    fuv = np.full((swt.K_slots, 2), 1.0)
+    fuv[:n_f] = f_px
+    ok_dev, _ = landmark_gates(state, data, jnp.asarray(fuv, state.p.dtype))
+    ok_dev = np.asarray(ok_dev)
+    swt._revalidate_landmarks(frames)  # host verdicts -> tr.valid
+    checked = 0
+    for l, tid in enumerate(meta.track_ids):
+        if not meta.landmark_mask[l]:
+            continue
+        assert bool(ok_dev[l]) == pmap.tracks[tid].valid, (l, tid)
+        checked += 1
+    assert checked >= 20
+    # both verdict classes exercised
+    lm = meta.landmark_mask[:len(meta.track_ids)]
+    assert ok_dev[:len(meta.track_ids)][lm].any()
+    assert (~ok_dev[:len(meta.track_ids)][lm]).any()
+
+
+def test_solver_time_limit_no_steady_state_syncs(monkeypatch):
+    """Enabling solver_time_limit must not add blocking syncs in steady
+    state: the per-variant executable cost is measured ONCE
+    (post-compile, call 1), then every solve stays async; and the
+    chained (fused) path is budgeted as one program instead of being
+    split (reference solver.cpp:186 is a hard in-solve limit; ours
+    clamps iteration counts from the measured compiled cost)."""
+    from xrslam_tpu.config import Config
+    from xrslam_tpu.core.map import PipelineMap
+    from xrslam_tpu.core.sliding_window import SlidingWindowTracker
+    from xrslam_tpu.io.synthetic import demo_window_problem
+
+    cfg = Config(solver_iteration_limit=10, solver_time_limit=0.05)
+    swt = SlidingWindowTracker(PipelineMap(), cfg)
+    st, data = demo_window_problem(4, 16, jnp.float64)
+
+    calls = []
+    real = jax.block_until_ready
+    monkeypatch.setattr(jax, "block_until_ready",
+                        lambda x: (calls.append(1), real(x))[1])
+    for _ in range(6):
+        swt._solve_timed("v", st, data, SolveOptions(iterations=2))
+    assert len(calls) == 1, "only the one-time measurement may sync"
+    assert swt._iter_seconds["v"] > 0
+
+    # chained budgeting: 10 ms/iter estimate vs 50 ms budget with a
+    # 2-iteration localize share -> 3 subwindow iterations
+    swt._iter_seconds["chained:subwindow"] = 0.01
+    s = swt._budget_chained("chained:subwindow",
+                            SolveOptions(iterations=2),
+                            SolveOptions(iterations=10))
+    assert s.iterations == 3
+    # ample budget: untouched
+    swt._iter_seconds["chained:subwindow"] = 1e-5
+    s = swt._budget_chained("chained:subwindow",
+                            SolveOptions(iterations=2),
+                            SolveOptions(iterations=10))
+    assert s.iterations == 10

@@ -392,7 +392,9 @@ class Initializer:
         packed transfer for the host copies — per-interval dispatch+fetch
         cost ~900 ms per init attempt on the tunneled TPU."""
         from ..utils.fetch import fetch_packed
+        from .window_builder import needed_imu_cap
 
+        cap = needed_imu_cap([[f] for f in self.map.frames[1:]], floor=cap)
         n_int = len(self.map.frames) - 1
         t_bufs = np.zeros((n_int, cap))
         w_bufs = np.zeros((n_int, cap, 3))

@@ -39,11 +39,16 @@ from ..utils.timing import stage_timer
 from . import nputil
 from .map import FrameRec, PipelineMap
 from .window_builder import (
-    extract_window, interval_samples, triangulate_track, write_back,
+    extract_window, interval_samples, needed_imu_cap, triangulate_track,
+    write_back,
 )
 
 
 class SlidingWindowTracker:
+    # rotation-subframe merge trigger (reference hardcodes 9 with 3->1
+    # grouping, sliding_window_tracker.cpp:375-377)
+    ROT_MERGE_TRIGGER = 9
+
     def __init__(self, pmap: PipelineMap, config: Config):
         self.map = pmap
         self.config = config
@@ -59,7 +64,16 @@ class SlidingWindowTracker:
         # trims it (reference grows the Ceres problem dynamically)
         self.K_slots = config.sliding_window_size + 2
         self.L_slots = config.window_landmark_slots
-        self.K_sub = 11  # keyframe + up to 10 subframes (rotation case)
+        # Subwindow slots: 1 keyframe + the larger of (a) the rotation
+        # case, merge-bounded at ROT_MERGE_TRIGGER subframes (reference
+        # hardcodes 9, sliding_window_tracker.cpp:375), and (b) the
+        # translational case, bounded by config subframe_size — plus 1
+        # slack for the attach-then-solve ordering. Derived, not
+        # hardcoded, so raising sliding_window_subframe_size in config
+        # cannot overflow the fixed-shape subwindow arrays (extraction
+        # still asserts K <= K_slots, so any miscount fails loudly).
+        self.K_sub = 1 + max(self.ROT_MERGE_TRIGGER,
+                             config.sliding_window_subframe_size) + 1
         self.marg: Optional[MargPrior] = None
         dt_canon = jax.dtypes.canonicalize_dtype(jnp.float64)
         self.bin_conf = parsac_mod.initial_bin_confidences(dt_canon)
@@ -98,6 +112,23 @@ class SlidingWindowTracker:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _budget_chained(self, chain_key: str, l_opts: SolveOptions,
+                        s_opts: SolveOptions) -> SolveOptions:
+        """Clamp the subwindow share of a chained solve so the whole
+        program fits the time budget (localize share untouched)."""
+        limit = self.config.solver_time_limit
+        est = self._iter_seconds.get(chain_key)
+        if not self._limit_active() or not est:
+            return s_opts
+        fit = max(1, int(limit / est) - l_opts.iterations)
+        if fit < s_opts.iterations:
+            import dataclasses
+
+            ladder = [1, 2, 3, 5, 8, 15, 30]
+            fit = max([v for v in ladder if v <= fit] or [1])
+            return dataclasses.replace(s_opts, iterations=fit)
+        return s_opts
+
     def _budgeted_iterations(self, variant: str) -> int:
         """Iteration count for a solve variant under solver_time_limit
         (match reference solver.cpp:186 max_solver_time_in_seconds)."""
@@ -113,31 +144,35 @@ class SlidingWindowTracker:
                 iters = max([v for v in ladder if v <= fit] or [1])
         return iters
 
-    def _solve_timed(self, variant: str, state, data, opts: SolveOptions):
-        """solve_window + per-iteration wall-time tracking. The first
-        call per variant is compile-polluted and only primes the
-        counter; later calls update an EMA used by
-        _budgeted_iterations.
-
-        Timing needs a device sync, which costs a full tunnel round
-        trip — only pay it when a real solver_time_limit is configured
-        (otherwise the solve stays async and the write_back fetch is
-        the frame's single sync point)."""
+    def _limit_active(self) -> bool:
         limit = self.config.solver_time_limit
-        timed = bool(limit) and limit > 0 and limit < 1.0e5
-        if not timed:
-            return solve_window(state, data, opts)
-        t0 = time.perf_counter()
-        st, info = solve_window(state, data, opts)
-        jax.block_until_ready(st)
-        dt = time.perf_counter() - t0
+        return bool(limit) and 0 < limit < 1.0e5
+
+    def _note_solve(self, variant: str, result, iterations: int):
+        """One-time post-compile timing of a solve variant. Call 0
+        compiles (wall time is compile-polluted, skipped); call 1 is
+        synced and timed ONCE to fix the executable's per-iteration
+        cost; every later call runs fully async — the time limit then
+        clamps iteration counts (reference solver.cpp:186
+        max_solver_time_in_seconds) without adding a single blocking
+        sync to steady state or disabling the fused solve_chained
+        path."""
         n = self._solve_calls.get(variant, 0)
         self._solve_calls[variant] = n + 1
-        if n >= 1 and opts.iterations > 0:
-            per = dt / opts.iterations
-            old = self._iter_seconds.get(variant)
-            self._iter_seconds[variant] = per if old is None \
-                else 0.7 * old + 0.3 * per
+        if n != 1 or variant in self._iter_seconds or iterations <= 0:
+            return
+        t0 = time.perf_counter()
+        jax.block_until_ready(result)
+        dt = time.perf_counter() - t0
+        self._iter_seconds[variant] = dt / iterations
+
+    def _solve_timed(self, variant: str, state, data, opts: SolveOptions):
+        """solve_window + the one-time per-variant timing of
+        _note_solve (no-op without a configured solver_time_limit)."""
+        if not self._limit_active():
+            return solve_window(state, data, opts)
+        st, info = solve_window(state, data, opts)
+        self._note_solve(variant, st, opts.iterations)
         return st, info
 
     def keyframes(self) -> List[FrameRec]:
@@ -204,7 +239,9 @@ class SlidingWindowTracker:
         from ..geometry import lie
         from ..utils.fetch import put_packed
 
-        cap = 256  # fixed shape: one compile of the predict path
+        # floor 256 keeps one compile of the predict path in the common
+        # case; bucketed up when skipped-frame splices exceed it
+        cap = needed_imu_cap([[frame_j]], floor=256)
         t_buf, w_buf, a_buf, n, t0 = interval_samples([frame_j], cap)
         self._pred_dev = None
         if n == 0:
@@ -255,14 +292,11 @@ class SlidingWindowTracker:
         # device program (solve_chained): one extraction, one dispatch,
         # one fetch per frame instead of three blocking syncs on the
         # tunneled TPU
-        if self._keyframe_decision():
+        verdict = self._keyframe_decision()
+        if verdict != "subframe":
             with stage_timer("localize_newframe_time"):
                 self.localize_newframe(defer_write=True)
-            if not self.manage_keyframe():  # never diverges by design
-                self._materialize_localize()
-                with stage_timer("subwindow_solve_time"):
-                    self.refine_subwindow()
-                return True
+            self.manage_keyframe(verdict)
             self._materialize_localize()  # track_landmark needs the pose
             self.track_landmark()
             with stage_timer("bundle_adjustor_solve_time"):
@@ -271,17 +305,7 @@ class SlidingWindowTracker:
                 self.slide_window()
         else:
             target = self.map.frames[-1]
-            if self.manage_keyframe():  # never diverges by design
-                with stage_timer("localize_newframe_time"):
-                    self.localize_newframe(defer_write=True)
-                self._materialize_localize()
-                self.track_landmark()
-                with stage_timer("bundle_adjustor_solve_time"):
-                    self.refine_window()
-                with stage_timer("bundle_adjustor_marginalization_time"):
-                    self.slide_window()
-                self._loc_result = None
-                return True
+            self.manage_keyframe(verdict)
             with stage_timer("subwindow_solve_time"):
                 self._fused_subframe_step(target)
         self._loc_result = None
@@ -322,17 +346,20 @@ class SlidingWindowTracker:
             # reprojection priors only exist for triangulated statics
             l_data = l_data._replace(landmark_mask=s_data.landmark_mask)
         l_state = self._apply_pred(s_state, frames)
+        # under a solver_time_limit the chained program is budgeted as
+        # ONE executable: its per-total-iteration cost (measured once
+        # post-compile by _note_solve) clamps the subwindow share while
+        # the localize share keeps its ladder value — the fused
+        # single-dispatch path stays intact either way
+        chain_key = "chained:" + variant
         l_opts = SolveOptions(iterations=self._budgeted_iterations("localize"))
-        limit = self.config.solver_time_limit
-        if bool(limit) and limit > 0 and limit < 1.0e5:
-            st1, _ = self._solve_timed("localize", l_state, l_data, l_opts)
-            self._loc_result = (st1, target, s2)
-            s_state = self._override_from_localize(s_state, frames)
-            st2, _ = self._solve_timed(variant, s_state, s_data, s_opts)
-        else:
-            _, st2, _ = solve_chained(
-                l_state, l_data, l_opts, s_state, s_data, s_opts,
-                jnp.asarray(s2, jnp.int32), jnp.asarray(s2, jnp.int32))
+        s_opts = self._budget_chained(chain_key, l_opts, s_opts)
+        _, st2, _ = solve_chained(
+            l_state, l_data, l_opts, s_state, s_data, s_opts,
+            jnp.asarray(s2, jnp.int32), jnp.asarray(s2, jnp.int32))
+        if self._limit_active():
+            self._note_solve(chain_key, st2,
+                             l_opts.iterations + s_opts.iterations)
         kf.fix_pose, kf.fix_motion = saved
         write_back(self.map, st2, s_data, s_meta, write_landmarks=False)
 
@@ -445,73 +472,75 @@ class SlidingWindowTracker:
         )
 
     # ------------------------------------------------------------------
-    def _keyframe_decision(self) -> bool:
-        """Pure (non-mutating) twin of manage_keyframe's return value —
-        lets track() pick the fused subframe path before any map
-        mutation."""
+    def _keyframe_decision(self) -> str:
+        """Pure (non-mutating) classification of the new frame
+        (reference :145-223). manage_keyframe CONSUMES this verdict —
+        there is exactly one copy of the decision logic, so track()'s
+        early fused-path dispatch and the later map mutation cannot
+        diverge. Verdicts:
+          'lift_rotation'    — last (rotation) subframe lifts to
+                               keyframe; new frame is also a keyframe
+          'lift_translation' — last (translational) subframe lifts to
+                               keyframe; new frame becomes its rotation
+                               subframe
+          'overflow'         — subframe budget full -> new keyframe
+          'forced'           — too few mapped landmarks -> new keyframe
+          'subframe'         — attach as subframe
+        A verdict is a keyframe case iff it is not 'subframe'."""
         kf_i = self.map.frames[-2]
         new_j = self.map.frames[-1]
         cfg = self.config
         if kf_i.subframes:
             if kf_i.subframes[-1].no_translation:
                 if not new_j.no_translation:
-                    return True
+                    return "lift_rotation"
             else:
                 if new_j.no_translation:
-                    return True
+                    return "lift_translation"
                 if len(kf_i.subframes) >= cfg.sliding_window_subframe_size:
-                    return True
-        mapped = 0
-        for k in np.nonzero(new_j.track_ids >= 0)[0]:
-            tr = self.map.tracks.get(int(new_j.track_ids[k]))
-            if tr is not None and tr.all_tagged("valid", "triangulated", "static"):
-                mapped += 1
-        return mapped < cfg.sliding_window_force_keyframe_landmarks
-
-    def manage_keyframe(self) -> bool:
-        """Subframe/keyframe state machine incl. pure-rotation handling
-        (reference :145-223). Returns True if the new frame (or a lifted
-        subframe) became a keyframe."""
-        kf_i = self.map.frames[-2]
-        new_j = self.map.frames[-1]
-        cfg = self.config
-
-        if kf_i.subframes:
-            if kf_i.subframes[-1].no_translation:
-                if new_j.no_translation:
-                    pass  # keep accumulating rotation subframes
-                else:
-                    # last rotation subframe becomes a keyframe before new_j
-                    lifted = kf_i.subframes.pop()
-                    lifted.keyframe = True
-                    self.map.attach_frame(lifted, len(self.map.frames) - 1)
-                    new_j.keyframe = True
-                    self.stats["subframe_lifts"] += 1
-                    return True
-            else:
-                if new_j.no_translation:
-                    # lift last translational subframe to keyframe; new_j
-                    # becomes its rotation subframe
-                    lifted = kf_i.subframes.pop()
-                    lifted.keyframe = True
-                    nj = self.map.detach_frame(len(self.map.frames) - 1)
-                    lifted.subframes.append(nj)
-                    self.map.attach_frame(lifted)
-                    self.stats["subframe_lifts"] += 1
-                    return True
-                else:
-                    if len(kf_i.subframes) >= cfg.sliding_window_subframe_size:
-                        new_j.keyframe = True
-                        return True
-
+                    return "overflow"
         mapped = 0
         for k in np.nonzero(new_j.track_ids >= 0)[0]:
             tr = self.map.tracks.get(int(new_j.track_ids[k]))
             if tr is not None and tr.all_tagged("valid", "triangulated", "static"):
                 mapped += 1
         if mapped < cfg.sliding_window_force_keyframe_landmarks:
+            return "forced"
+        return "subframe"
+
+    def manage_keyframe(self, verdict: Optional[str] = None) -> bool:
+        """Apply the subframe/keyframe state machine for the given
+        _keyframe_decision verdict (computed here if not supplied)
+        (reference :145-223). Returns True if the new frame (or a
+        lifted subframe) became a keyframe."""
+        if verdict is None:
+            verdict = self._keyframe_decision()
+        kf_i = self.map.frames[-2]
+        new_j = self.map.frames[-1]
+
+        if verdict == "lift_rotation":
+            # last rotation subframe becomes a keyframe before new_j
+            lifted = kf_i.subframes.pop()
+            lifted.keyframe = True
+            self.map.attach_frame(lifted, len(self.map.frames) - 1)
+            new_j.keyframe = True
+            self.stats["subframe_lifts"] += 1
+            return True
+        if verdict == "lift_translation":
+            # lift last translational subframe to keyframe; new_j
+            # becomes its rotation subframe
+            lifted = kf_i.subframes.pop()
+            lifted.keyframe = True
+            nj = self.map.detach_frame(len(self.map.frames) - 1)
+            lifted.subframes.append(nj)
+            self.map.attach_frame(lifted)
+            self.stats["subframe_lifts"] += 1
+            return True
+        if verdict in ("overflow", "forced"):
             new_j.keyframe = True
             return True
+
+        assert verdict == "subframe", verdict
         sub = self.map.detach_frame(len(self.map.frames) - 1)
         if sub.no_translation:
             self.stats["rotation_subframes"] += 1
@@ -584,6 +613,14 @@ class SlidingWindowTracker:
             st, data._replace(landmark_mask=data.landmark_mask & gates[0]),
             meta)
         self._apply_landmark_gates(meta, np.asarray(ok))
+        # the reference re-validates EVERY triangulated track each
+        # keyframe — including currently-invalid ones, which can win
+        # TT_VALID back (sliding_window_tracker.cpp:325-352). The device
+        # gates only cover tracks occupying window landmark slots; run
+        # the host twin over the rest so no track keeps a stale verdict.
+        covered = {tid for l, tid in enumerate(meta.track_ids)
+                   if meta.landmark_mask[l]}
+        self._revalidate_landmarks(frames, skip_ids=covered)
 
     def _refine_track_filter(self, frames):
         kf_ids = {f.id for f in frames}
@@ -602,18 +639,19 @@ class SlidingWindowTracker:
             if tr is None:
                 continue
             tr.valid = bool(ok[l])
-            if not ok[l]:
-                tr.trash = True
+            tr.trash = not tr.valid
         self.map.prune_tracks(lambda t: t.trash and not t.static)
 
-    def _revalidate_landmarks(self, frames):
-        """Depth and RPE gates after the window solve — host reference
-        implementation of landmark_gates, kept as the parity oracle
-        (tests/test_solver.py::test_landmark_gates_match_host)
-        (reference :325-352)."""
+    def _revalidate_landmarks(self, frames, skip_ids=frozenset()):
+        """Depth and RPE gates after the window solve — host twin of the
+        device landmark_gates, applied to triangulated tracks NOT
+        covered by the window landmark slots (`skip_ids`); the verdict
+        can resurrect TT_VALID, matching the reference's every-track
+        re-validation (reference :325-352). Device/host parity is
+        guarded by tests/test_solver.py::test_landmark_gates_match_host."""
         kf_by_id = {f.id: f for f in frames}
         for tr in list(self.map.tracks.values()):
-            if not tr.triangulated or tr.p_w is None:
+            if tr.id in skip_ids or not tr.triangulated or tr.p_w is None:
                 continue
             ok = True
             rpe = 0.0
@@ -635,8 +673,7 @@ class SlidingWindowTracker:
                 cnt += 1.0
             ok = ok and (rpe / max(cnt, 1.0) < 3.0)
             tr.valid = ok
-            if not ok:
-                tr.trash = True
+            tr.trash = not ok
         self.map.prune_tracks(lambda t: t.trash and not t.static)
 
     # ------------------------------------------------------------------
@@ -706,7 +743,7 @@ class SlidingWindowTracker:
             return None
         rotation_mode = kf.subframes[0].no_translation
 
-        if rotation_mode and len(kf.subframes) >= 9:
+        if rotation_mode and len(kf.subframes) >= self.ROT_MERGE_TRIGGER:
             # compress: merge each group of 3 into its last frame
             self.stats["rotation_merges"] += 1
             groups = len(kf.subframes) // 3

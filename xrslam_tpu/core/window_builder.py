@@ -47,6 +47,35 @@ class WindowMeta:
                                   # bias linearization without re-upload
 
 
+# Allowed IMU-buffer capacities. Shapes must be static per jit cache
+# entry, so the capacity is quantized to a small ladder: callers size
+# the buffer to the next bucket >= the actual sample count, giving at
+# most len(IMU_CAP_BUCKETS) compiles of the integrate path over a run
+# while making silent truncation impossible (the round-3 rotation-merge
+# path overflowed a hard cap of 128 and dropped IMU tail samples).
+IMU_CAP_BUCKETS = (64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
+def bucket_imu_cap(n: int) -> int:
+    """Smallest allowed capacity >= n (reference keeps unbounded
+    std::vector buffers, preintegrator.h:44-48; our fixed-shape
+    equivalent must never drop samples)."""
+    for b in IMU_CAP_BUCKETS:
+        if n <= b:
+            return b
+    raise RuntimeError(
+        f"IMU interval holds {n} samples — beyond the largest supported "
+        f"buffer ({IMU_CAP_BUCKETS[-1]}); check the frame/IMU rates")
+
+
+def needed_imu_cap(frame_lists, floor: int = 0) -> int:
+    """Bucketed capacity covering every interval's sample count."""
+    needed = floor
+    for fl in frame_lists:
+        needed = max(needed, sum(len(f.imu_t) for f in fl))
+    return bucket_imu_cap(needed)
+
+
 def interval_samples(frames_between: List[FrameRec], cap: int):
     """Concatenate raw IMU samples of the given frames into a
     fixed-capacity buffer (t (cap,), w (cap,3), a (cap,3), count, t0).
@@ -65,7 +94,13 @@ def interval_samples(frames_between: List[FrameRec], cap: int):
         ts = np.zeros((0,))
         ws = np.zeros((0, 3))
         accs = np.zeros((0, 3))
-    n = min(len(ts), cap)
+    if len(ts) > cap:
+        # dropping tail samples silently corrupts preintegration deltas;
+        # callers must size via needed_imu_cap/bucket_imu_cap
+        raise RuntimeError(
+            f"IMU buffer overflow: {len(ts)} samples > cap {cap} — "
+            "caller must bucket the capacity (needed_imu_cap)")
+    n = len(ts)
     t_buf = np.zeros((cap,))
     w_buf = np.zeros((cap, 3))
     a_buf = np.zeros((cap, 3))
@@ -73,10 +108,6 @@ def interval_samples(frames_between: List[FrameRec], cap: int):
     t_buf[:n] = ts[:n] - t0
     w_buf[:n] = ws[:n]
     a_buf[:n] = accs[:n]
-    if n < len(ts):  # should not happen with a sane cap
-        import warnings
-
-        warnings.warn(f"IMU buffer overflow: {len(ts)} samples > cap {cap}")
     return t_buf, w_buf, a_buf, n, t0
 
 
@@ -277,6 +308,13 @@ def _extract_window_impl(
         track_ids.append(tr.id)
 
     # ---- preintegration: one batched integrate over all K intervals ----
+    # the passed imu_cap is a floor; the actual capacity is bucketed up
+    # to cover every interval so merged/skipped-frame intervals can
+    # never silently truncate (see IMU_CAP_BUCKETS)
+    if with_preint:
+        lists = [(all_frames_between[j] if all_frames_between is not None
+                  else [frames[j]]) for j in range(1, K)]
+        imu_cap = needed_imu_cap(lists, floor=imu_cap)
     pmask = np.zeros((K_slots,), dtype=bool)
     bg_lin = np.zeros((K_slots, 3))
     ba_lin = np.zeros((K_slots, 3))

@@ -246,9 +246,20 @@ def solve_essential_5pt(x1: jnp.ndarray, x2: jnp.ndarray, n_samples: int = 16):
     # compact: a degree-10 polynomial has at most 10 real roots (plus
     # possible chart-boundary duplicates at |z|=1), so only ≤12 of the
     # 2(G-1) bisection slots can be valid — gather them to the front and
-    # run the expensive null-vector solve on 12 slots instead of 126
+    # run the expensive null-vector solve on 12 slots instead of 126.
+    # Ranked by |p(root)| in each root's own chart (both charts share
+    # the normalized coefficient scale), NOT by grid position: f32
+    # coefficient noise can flag spurious sign changes in several
+    # cells, and index-order compaction could displace genuine roots
+    # past slot R while a residual ordering keeps them first.
     R = 12
-    order = jnp.argsort(jnp.where(valid, 0, 1), axis=-1, stable=True)
+    cs = jnp.stack([coeffs_a, coeffs_b], axis=0)  # (2,...,11)
+    resid = jnp.zeros_like(roots_ab)
+    for k in range(cs.shape[-1] - 1, -1, -1):  # Horner, static unroll
+        resid = resid * roots_ab + cs[..., k][..., None]
+    res_all = jnp.concatenate([jnp.abs(resid[0]), jnp.abs(resid[1])], axis=-1)
+    big = jnp.asarray(jnp.finfo(res_all.dtype).max, res_all.dtype)
+    order = jnp.argsort(jnp.where(valid, res_all, big), axis=-1, stable=True)
     order = order[..., :R]
     z_all = jnp.take_along_axis(z_all, order, axis=-1)
     valid = jnp.take_along_axis(valid, order, axis=-1)

@@ -24,7 +24,18 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("dtype",))
 def _pack(leaves, dtype):
-    return jnp.concatenate([jnp.ravel(x).astype(dtype) for x in leaves])
+    """Flatten + concat, prefixed by ONE overflow flag: int leaves whose
+    values exceed the float mantissa would be silently rounded by the
+    cast, so the device computes the check and ships it in the same
+    buffer (no extra round trip); fetch_packed raises on it."""
+    mant = jnp.finfo(dtype).nmant + 1  # 24 (f32) / 53 (f64)
+    limit = float(2 ** mant)
+    flags = [jnp.any(jnp.abs(x) >= limit) for x in leaves
+             if jnp.issubdtype(x.dtype, jnp.integer)
+             and jnp.iinfo(x.dtype).bits > mant]
+    ovf = jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool)
+    return jnp.concatenate([ovf.astype(dtype)[None]]
+                           + [jnp.ravel(x).astype(dtype) for x in leaves])
 
 
 @partial(jax.jit, static_argnames=("sig",))
@@ -59,6 +70,17 @@ def put_packed(arrays):
         if a.dtype == np.float64:
             widest = np.float64
             break
+    # int leaves ride the float encoding; values beyond the mantissa
+    # would be silently rounded by the cast — fail loudly instead
+    # (values are known host-side here, so the check is cheap)
+    mant = np.finfo(widest).nmant + 1  # 24 (f32) / 53 (f64)
+    for a in arrays:
+        if np.issubdtype(a.dtype, np.integer) and a.size \
+                and int(np.abs(a).max()) >= (1 << mant):
+            raise ValueError(
+                f"put_packed: int leaf max |{int(np.abs(a).max())}| "
+                f"exceeds the {np.dtype(widest).name} mantissa "
+                f"(2^{mant}) — transfer it separately")
     flat = np.concatenate([np.ravel(a).astype(widest) for a in arrays]) \
         if arrays else np.zeros((0,), widest)
     dev = jnp.asarray(flat)  # the one transfer
@@ -85,9 +107,14 @@ def fetch_packed(tree):
             break
     flat = _pack(tuple(dev), widest)
     buf = np.asarray(flat)  # the one transfer
+    if buf[0] != 0:
+        raise ValueError(
+            "fetch_packed: an int leaf holds values beyond the "
+            f"{np.dtype(widest).name} mantissa and would be rounded — "
+            "fetch it separately")
 
     out = list(leaves)
-    off = 0
+    off = 1  # skip the overflow flag
     for i in dev_idx:
         x = leaves[i]
         n = x.size

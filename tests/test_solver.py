@@ -373,3 +373,53 @@ def test_solver_time_limit_no_steady_state_syncs(monkeypatch):
                             SolveOptions(iterations=2),
                             SolveOptions(iterations=10))
     assert s.iterations == 10
+
+
+def test_assemble_gram_backend_parity(monkeypatch):
+    """The Gram-reformulated reprojection assembly must match the
+    einsum path bit-for-bit in structure (same H/b/Hll/Hfl/bl to fp
+    tolerance) — guards the XR_ASSEMBLE_BACKEND=gram fast path."""
+    from xrslam_tpu.estimation import gram
+    from xrslam_tpu.io.synthetic import demo_window_problem
+
+    st, data = demo_window_problem(6, 32, jnp.float64)
+    opts = SolveOptions(iterations=1)
+    ref = assemble(st, data, opts)
+    monkeypatch.setenv("XR_ASSEMBLE_BACKEND", "gram")
+    jax.clear_caches()
+    try:
+        alt = assemble(st, data, opts)
+    finally:
+        monkeypatch.delenv("XR_ASSEMBLE_BACKEND")
+        jax.clear_caches()
+    names = ["H", "b", "Hll", "Hfl", "bl", "cost"]
+    for n, a, b_ in zip(names, ref, alt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-9, atol=1e-9, err_msg=n)
+
+
+def test_assemble_pallas_kernel_parity_interpret():
+    """The fused Pallas reprojection-assembly kernel (gram.py) vs the
+    einsum reference, run through the Pallas interpreter so the parity
+    holds on CPU too (the compiled-TPU A/B is tools/ab_assemble.py)."""
+    from xrslam_tpu.estimation import factors, gram
+    from xrslam_tpu.io.synthetic import demo_window_problem
+
+    st, data = demo_window_problem(6, 128, jnp.float64)
+    r, Jt, Jr6, Jd, m = factors.reproj_residual_jac(st, data)
+    w, _ = factors.cauchy_weights(r, m)
+    wf = w[..., None]
+    r = r * wf
+    Jt = Jt * wf[..., None]
+    Jr6 = Jr6 * wf[..., None]
+    Jd = Jd * wf
+    K = st.q.shape[0]
+    dt = st.p.dtype
+    R1 = (jax.nn.one_hot(data.ref_idx, K, dtype=dt)
+          * data.landmark_mask[:, None].astype(dt))
+
+    ref = gram.reproj_gram_xla(r, Jt, Jr6, Jd, R1)
+    out = gram.reproj_gram_pallas(r, Jt, Jr6, Jd, R1, interpret=True)
+    for n, a, b in zip(["P", "b6", "Hll", "Hfl", "bl"], ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-9, err_msg=n)

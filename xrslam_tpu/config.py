@@ -102,6 +102,12 @@ class Config:
 
     # --- solver (config.cpp:60-62) ---
     solver_iteration_limit: int = 10
+    # defer the subframe write-back fetch to the next frame so the
+    # solve overlaps the tracker's host work (the reference's threaded
+    # backend lag, XRSLAM_ENABLE_THREADING=ON semantics; outputs stay
+    # fresh via IMU forward propagation). No reference config
+    # counterpart; parsac_flag forces synchronous writes either way.
+    deferred_subframe_write: bool = True
     # fixed landmark-slot capacities of the jitted window solves (no
     # reference counterpart — the reference builds dynamic Ceres
     # problems; we compile one executable per static shape)

@@ -49,7 +49,12 @@ class FeatureTrackerBase:
     tracker map. The real KLT tracker and the synthetic stub share this
     interface."""
 
-    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
+    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec,
+                    rider=None) -> None:
+        """`rider` (optional): an in-flight fetch handle whose packed
+        buffer the tracker should pull in its own single device fetch
+        (utils.fetch._FetchHandle.complete_with) — combines the
+        backend's deferred write-back with the tracker round trip."""
         raise NotImplementedError
 
 
@@ -235,8 +240,17 @@ class VIOPipeline:
         frame._detect_tag = issue_tag
         image = getattr(frame, "_image", None)  # tracker clears the slot
         self.tracker_map.attach_frame(frame)
+        # ride the backend's deferred write-back buffer along the
+        # tracker's single fetch: two blocking syncs each cost a full
+        # ~30 ms tunnel round trip, one combined transfer costs one
+        rider = None
+        import os as _os
+
+        if (self.swt is not None and self.swt._pending_write is not None
+                and _os.environ.get("XR_FETCH_RIDER", "1") != "0"):
+            rider = self.swt._pending_write["pf"]
         with stage_timer("feature_tracker_time"):
-            self.tracker.track_frame(self.tracker_map, frame)
+            self.tracker.track_frame(self.tracker_map, frame, rider=rider)
 
         if self.swt is not None and self.config.visual_pnp_enable:
             self._solve_pnp_highrate(frame)
@@ -283,6 +297,7 @@ class VIOPipeline:
         t, q, p, v, bg, ba = self.swt.get_latest_state()
         self._prop = dict(t=t, q=q.copy(), p=p.copy(), v=v.copy(),
                           bg=bg.copy(), ba=ba.copy())
+        self._prop_cache = None  # new anchor: restart the cursor
         self._imu_since_opt = [s for s in self._imu_since_opt if s[0] > t]
         if self.config.visual_pnp_enable:
             self._refresh_keymap()
@@ -349,6 +364,7 @@ class VIOPipeline:
         s = self._prop
         self._prop = dict(t=frame.t, q=q_b2, p=p_b2, v=v_b,
                           bg=s["bg"].copy(), ba=s["ba"].copy())
+        self._prop_cache = None  # new anchor: restart the cursor
         self._imu_since_opt = [x for x in self._imu_since_opt if x[0] > frame.t]
 
     # ------------------------------------------------------------------
@@ -368,13 +384,23 @@ class VIOPipeline:
     def _propagate_full(self, t: float):
         """Forward-propagate (q, p, v) to time t from the last optimized
         state (reference propagate_state, detail.cpp:15-28). Returns
-        (t_reached, q, p, v) or None before initialization."""
+        (t_reached, q, p, v) or None before initialization.
+
+        Memoized: every IMU sample triggers an output pose, and
+        re-integrating the whole since-opt buffer each time is
+        O(samples²) per frame of host quaternion math — the cursor
+        resumes from the last reached sample instead (reset whenever
+        the optimized anchor state refreshes)."""
         if self._prop is None:
             return None
         s = self._prop
-        q, p, v = s["q"].copy(), s["p"].copy(), s["v"].copy()
+        c = getattr(self, "_prop_cache", None)
+        if c is not None and c[0] <= t:
+            t_cur, q, p, v = c[0], c[1].copy(), c[2].copy(), c[3].copy()
+        else:
+            q, p, v = s["q"].copy(), s["p"].copy(), s["v"].copy()
+            t_cur = s["t"]
         bg, ba = s["bg"], s["ba"]
-        t_cur = s["t"]
         for (ti, w, a) in self._imu_since_opt:
             if ti <= t_cur or ti > t:
                 continue
@@ -385,6 +411,7 @@ class VIOPipeline:
             q = nputil.quat_normalize(
                 nputil.quat_mul(q, nputil.expmap((w - bg) * dt)))
             t_cur = ti
+        self._prop_cache = (t_cur, q.copy(), p.copy(), v.copy())
         return t_cur, q, p, v
 
     # ------------------------------------------------------------------
@@ -413,7 +440,8 @@ class SyntheticTracker(FeatureTrackerBase):
 
         self._key = _jax.random.PRNGKey(0 if config is None else config.random)
 
-    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
+    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec,
+                    rider=None) -> None:
         hint = getattr(frame, "_hint", None)
         if hint is None:
             return

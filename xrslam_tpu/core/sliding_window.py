@@ -40,8 +40,42 @@ from . import nputil
 from .map import FrameRec, PipelineMap
 from .window_builder import (
     extract_window, interval_samples, needed_imu_cap, triangulate_track,
-    write_back,
+    write_back, write_back_start,
 )
+
+
+@jax.jit
+def _predict_slot(state, data, idx):
+    """IMU-forward prediction of window slot `idx` from slot idx-1
+    using the extraction's own preintegration delta (reference
+    preintegrator.cpp:102-112 predict on IMU-frame poses) — runs inside
+    the device program, so the parsac-off path needs NO separate
+    prediction upload."""
+    from ..geometry import lie
+
+    i = idx - 1
+    g = lambda x, j: jax.lax.dynamic_index_in_dim(x, j, 0, keepdims=False)
+    q_prev, p_prev, v_prev = g(state.q, i), g(state.p, i), g(state.v, i)
+    bg_prev, ba_prev = g(state.bg, i), g(state.ba, i)
+    q_bi_i, p_bi_i = g(data.q_bi, i), g(data.p_bi, i)
+    q_bi_j, p_bi_j = g(data.q_bi, idx), g(data.p_bi, idx)
+    delta = jax.tree.map(lambda x: g(x, idx), data.preint)
+    q_i = lie.quat_mul(q_prev, q_bi_i)
+    p_i = p_prev + lie.quat_rotate(q_prev, p_bi_i)
+    qj, pj, vj, _, _ = pre.predict(q_i, p_i, v_prev, bg_prev, ba_prev,
+                                   delta)
+    q_b = lie.quat_normalize(lie.quat_mul(qj, lie.quat_conj(q_bi_j)))
+    p_b = pj - lie.quat_rotate(q_b, p_bi_j)
+    # no IMU in the interval (delta == identity) -> previous state
+    has = g(data.preint.t, idx) > 0
+    q_b = jnp.where(has, q_b, q_prev)
+    p_b = jnp.where(has, p_b, p_prev)
+    vj = jnp.where(has, vj, v_prev)
+    upd = lambda arr, val: jax.lax.dynamic_update_index_in_dim(
+        arr, val.astype(arr.dtype), idx, 0)
+    return state._replace(
+        q=upd(state.q, q_b), p=upd(state.p, p_b), v=upd(state.v, vj),
+        bg=upd(state.bg, bg_prev), ba=upd(state.ba, ba_prev))
 
 
 class SlidingWindowTracker:
@@ -98,6 +132,17 @@ class SlidingWindowTracker:
         # deferred localize result: (device WindowState, target FrameRec,
         # slot) — see localize_newframe(defer_write=True)
         self._loc_result = None
+        # deferred SUBFRAME write-back: the fused subframe solve is
+        # dispatched but its result is NOT fetched until the next
+        # frame's mirror_frame — the solve overlaps the next frame's
+        # host work (PNG decode, tracker prep) and the blocking fetch
+        # shrinks to a pure round trip. This reproduces the reference's
+        # threaded semantics where the backend lags the tracker by one
+        # frame and outputs are IMU-forward-propagated from the last
+        # optimized state (frontend_worker.cpp worker loop +
+        # detail.cpp:144-177 predict_pose).
+        self._pending_write = None   # (state, data, meta)
+        self._latest_solved = None   # (t,q,p,v,bg,ba) fallback snapshot
         # event counters for inspection + the RD-VIO e2e proofs
         self.stats = {
             "subframe_lifts": 0,       # rotation/translation lift cases
@@ -184,8 +229,37 @@ class SlidingWindowTracker:
         return kf.subframes[-1] if kf.subframes else kf
 
     def get_latest_state(self):
+        """Latest OPTIMIZED state (reference FrontendWorker
+        latest_state). With a subframe write-back in flight this is the
+        previous frame's solved state — consumers (predict_pose)
+        IMU-forward-propagate past it, exactly the reference's threaded
+        output path."""
+        if self._pending_write is not None and self._latest_solved is not None:
+            return self._latest_solved
         f = self.last_frame_chain()
         return f.t, f.q, f.p, f.v, f.bg, f.ba
+
+    def materialize_pending(self) -> None:
+        """Fetch + apply the deferred subframe write-back (one packed
+        transfer; by now the solve has long finished on device)."""
+        if self._pending_write is None:
+            return
+        pend = self._pending_write
+        self._pending_write = None
+        self._latest_solved = None
+        out = write_back(self.map, pend["st"], pend["data"], pend["meta"],
+                         write_landmarks=pend.get("write_landmarks", False),
+                         extra=pend.get("extra"),
+                         prefetched=pend["pf"])
+        cb = pend.get("cb")
+        if cb is not None:
+            cb(out)
+
+    def _defer_writes(self) -> bool:
+        # PARSAC consumes the refined previous pose on host each frame
+        # (judge_track_status prior), so deferral is parsac-off only
+        return self.config.deferred_subframe_write \
+            and not self.config.parsac_flag
 
     # ------------------------------------------------------------------
     def mirror_frame(self, tracker_map: PipelineMap, frame_id: int) -> bool:
@@ -193,6 +267,9 @@ class SlidingWindowTracker:
         IMU samples of skipped frames, extend tracks that continue from
         the window's latest frame, integrate + predict
         (reference :31-80)."""
+        # land the previous frame's deferred solve before any host code
+        # reads frame states (prediction, extraction, PARSAC)
+        self.materialize_pending()
         self._tracker_map = tracker_map
         frame_i = self.last_frame_chain()
         idx_i = tracker_map.frame_index_by_id(frame_i.id)
@@ -239,14 +316,28 @@ class SlidingWindowTracker:
         from ..geometry import lie
         from ..utils.fetch import put_packed
 
-        # floor 256 keeps one compile of the predict path in the common
-        # case; bucketed up when skipped-frame splices exceed it
+        self._pred_dev = None
+        self._pred_frame = None
+        frame_j.bg = frame_i.bg.copy()
+        frame_j.ba = frame_i.ba.copy()
+        if not self.config.parsac_flag:
+            # NO separate upload: the window extraction already ships
+            # the interval's IMU and integrates its preintegration
+            # delta; _apply_pred composes the prediction IN-PROGRAM
+            # from those device-resident arrays (_predict_slot). Host
+            # values (upload placeholders until write_back) hold the
+            # previous frame's state. One fewer put + one fewer
+            # dispatch per frame on the serializing tunnel.
+            frame_j.q, frame_j.p = frame_i.q.copy(), frame_i.p.copy()
+            frame_j.v = frame_i.v.copy()
+            self._pred_frame = frame_j
+            return
+        # PARSAC's prior-pose PnP needs the predicted pose on host:
+        # upload the interval + integrate + predict + fetch
         cap = needed_imu_cap([[frame_j]], floor=256)
         t_buf, w_buf, a_buf, n, t0 = interval_samples([frame_j], cap)
-        self._pred_dev = None
         if n == 0:
             frame_j.q, frame_j.p, frame_j.v = frame_i.q.copy(), frame_i.p.copy(), frame_i.v.copy()
-            frame_j.bg, frame_j.ba = frame_i.bg.copy(), frame_i.ba.copy()
             return
         # compose at the IMU, then back to body (reference
         # preintegrator.cpp:102-112 predict on imu poses)
@@ -262,22 +353,10 @@ class SlidingWindowTracker:
         qj, pj, vj, _, _ = pre.predict(qi_d, pi_d, vi_d, bg_d, ba_d, d)
         q_b_dev = lie.quat_normalize(lie.quat_mul(qj, lie.quat_conj(qbi_d)))
         p_b_dev = pj - lie.quat_rotate(q_b_dev, pbi_d)
-        frame_j.bg = frame_i.bg.copy()
-        frame_j.ba = frame_i.ba.copy()
-        if self.config.parsac_flag:
-            # PARSAC's prior-pose PnP needs the predicted pose on host
-            q_b, p_b, vj_h = fetch_packed((q_b_dev, p_b_dev, vj))
-            frame_j.q = nputil.quat_normalize(q_b)
-            frame_j.p = p_b
-            frame_j.v = vj_h
-        else:
-            # keep the prediction on device: localize patches it into
-            # its target slot; host values (used only as upload
-            # placeholders until the frame's final write_back) hold the
-            # previous frame's state
-            frame_j.q, frame_j.p = frame_i.q.copy(), frame_i.p.copy()
-            frame_j.v = frame_i.v.copy()
-            self._pred_dev = (frame_j, q_b_dev, p_b_dev, vj)
+        q_b, p_b, vj_h = fetch_packed((q_b_dev, p_b_dev, vj))
+        frame_j.q = nputil.quat_normalize(q_b)
+        frame_j.p = p_b
+        frame_j.v = vj_h
 
     # ------------------------------------------------------------------
     def track(self) -> bool:
@@ -311,20 +390,17 @@ class SlidingWindowTracker:
         self._loc_result = None
         return True
 
-    def _fused_subframe_step(self, target: FrameRec):
-        """Localize + subwindow refine as one device program over the
-        subwindow arrays. The localize stage is the same math as
-        localize_newframe (reference :119-143) expressed as a fix-mask
-        variant of the subwindow system: every frame but the target
-        fixed, every landmark fixed, preintegration only prev→target —
-        tracks observed by the target always have their previous-frame
-        observation in the subwindow (KLT chains are contiguous), so the
-        reprojection-prior set matches the full-window extraction."""
+    def prepare_fused_subframe(self, target: FrameRec):
+        """Host half of the fused subframe step: subwindow extraction +
+        the localize-stage masking. Returns a ctx dict holding the
+        solve_chained operands + finish bookkeeping (or None when the
+        keyframe has no subframes). Public so the multi-sequence driver
+        (tools/multiseq.py) can batch N sequences' chained solves on
+        the data axis (SURVEY §2.3) and then finish each with
+        finish_fused_subframe."""
         prep = self._prepare_subwindow()
-        if prep is None:  # no subframes (unreachable on this path)
-            self.localize_newframe(defer_write=True)
-            self._materialize_localize()
-            return
+        if prep is None:
+            return None
         s_state, s_data, s_meta, s_opts, variant, kf, saved = prep
         frames = s_meta.frames
         s2 = len(frames) - 1
@@ -345,7 +421,7 @@ class SlidingWindowTracker:
         if variant == "subwindow_rot":
             # reprojection priors only exist for triangulated statics
             l_data = l_data._replace(landmark_mask=s_data.landmark_mask)
-        l_state = self._apply_pred(s_state, frames)
+        l_state = self._apply_pred(s_state, frames, s_data)
         # under a solver_time_limit the chained program is budgeted as
         # ONE executable: its per-total-iteration cost (measured once
         # post-compile by _note_solve) clamps the subwindow share while
@@ -354,14 +430,59 @@ class SlidingWindowTracker:
         chain_key = "chained:" + variant
         l_opts = SolveOptions(iterations=self._budgeted_iterations("localize"))
         s_opts = self._budget_chained(chain_key, l_opts, s_opts)
-        _, st2, _ = solve_chained(
-            l_state, l_data, l_opts, s_state, s_data, s_opts,
-            jnp.asarray(s2, jnp.int32), jnp.asarray(s2, jnp.int32))
+        return dict(l_state=l_state, l_data=l_data, l_opts=l_opts,
+                    s_state=s_state, s_data=s_data, s_opts=s_opts,
+                    s2=s2, variant=variant, chain_key=chain_key,
+                    kf=kf, saved=saved, meta=s_meta, frames=frames)
+
+    def finish_fused_subframe(self, ctx, st2):
+        """Apply a fused subframe solve result (defer/write + restore
+        fix flags)."""
+        kf, saved, frames = ctx["kf"], ctx["saved"], ctx["frames"]
+        s_data, s_meta = ctx["s_data"], ctx["meta"]
         if self._limit_active():
-            self._note_solve(chain_key, st2,
-                             l_opts.iterations + s_opts.iterations)
+            self._note_solve(ctx["chain_key"], st2,
+                             ctx["l_opts"].iterations
+                             + ctx["s_opts"].iterations)
         kf.fix_pose, kf.fix_motion = saved
-        write_back(self.map, st2, s_data, s_meta, write_landmarks=False)
+        if self._defer_writes() and len(frames) >= 2:
+            # frames[-2] is the newest frame whose host record is
+            # already solved (materialized when this frame arrived)
+            f = frames[-2]
+            self._latest_solved = (f.t, f.q.copy(), f.p.copy(),
+                                   f.v.copy(), f.bg.copy(), f.ba.copy())
+            pf = write_back_start(st2)
+            self._pending_write = dict(st=st2, data=s_data, meta=s_meta,
+                                       pf=pf)
+        else:
+            write_back(self.map, st2, s_data, s_meta, write_landmarks=False)
+
+    def _fused_subframe_step(self, target: FrameRec):
+        """Localize + subwindow refine as one device program over the
+        subwindow arrays. The localize stage is the same math as
+        localize_newframe (reference :119-143) expressed as a fix-mask
+        variant of the subwindow system: every frame but the target
+        fixed, every landmark fixed, preintegration only prev→target —
+        tracks observed by the target always have their previous-frame
+        observation in the subwindow (KLT chains are contiguous), so the
+        reprojection-prior set matches the full-window extraction."""
+        ctx = self.prepare_fused_subframe(target)
+        if ctx is None:  # no subframes (unreachable on this path)
+            self.localize_newframe(defer_write=True)
+            self._materialize_localize()
+            return
+        broker = getattr(self, "solve_broker", None)
+        if broker is not None:
+            # multi-sequence data-parallel mode: the broker collects
+            # every lockstepped sequence's chained solve this frame and
+            # dispatches them as ONE batched program (tools/multiseq.py)
+            broker.submit(self, ctx)
+            return
+        s2 = jnp.asarray(ctx["s2"], jnp.int32)
+        _, st2, _ = solve_chained(
+            ctx["l_state"], ctx["l_data"], ctx["l_opts"],
+            ctx["s_state"], ctx["s_data"], ctx["s_opts"], s2, s2)
+        self.finish_fused_subframe(ctx, st2)
 
     # ------------------------------------------------------------------
     def _prepare_localize(self):
@@ -390,7 +511,7 @@ class SlidingWindowTracker:
         for f, (fp, fm) in zip(wframes, saved):
             f.fix_pose, f.fix_motion = fp, fm
         # device-resident IMU prediction of the target (parsac-off path)
-        state = self._apply_pred(state, wframes)
+        state = self._apply_pred(state, wframes, data)
         # only the last preint entry (prev -> target) is a factor
         pm = np.zeros((self.K_slots + 2,), dtype=bool)
         pm[len(wframes) - 1] = bool(meta.preint_mask[len(wframes) - 1])
@@ -414,7 +535,15 @@ class SlidingWindowTracker:
         st, _ = self._solve_timed("localize", state, data, SolveOptions(
             iterations=self._budgeted_iterations("localize")))
         if defer_write:
-            self._loc_result = (st, target, slot)
+            from ..utils.fetch import fetch_packed_start
+
+            # staged (not async-copied): tunnel transfers serialize, an
+            # early copy would just move the round trip in front of the
+            # next dispatch (see write_back_start)
+            pf = fetch_packed_start(
+                (st.q[slot], st.p[slot], st.v[slot], st.bg[slot],
+                 st.ba[slot]), async_copy=False)
+            self._loc_result = (st, target, slot, pf)
         else:
             write_back(self.map, st, data, meta, write_landmarks=False,
                        frame_subset={target.id})
@@ -424,33 +553,43 @@ class SlidingWindowTracker:
         host record (one packed transfer)."""
         if getattr(self, "_loc_result", None) is None:
             return
-        st, target, slot = self._loc_result
+        st, target, slot, pf = self._loc_result
         self._loc_result = None
-        q, p, v, bg, ba = fetch_packed(
-            (st.q[slot], st.p[slot], st.v[slot], st.bg[slot], st.ba[slot]))
+        q, p, v, bg, ba = pf.get()
         target.q = nputil.quat_normalize(q)
         target.p = p
         target.v = v
         target.bg = bg
         target.ba = ba
 
-    def _apply_pred(self, state, frames):
-        """Patch the device-resident IMU prediction into the window slot
-        holding its frame (host record still carries the previous
-        frame's state on the parsac-off path)."""
+    def _apply_pred(self, state, frames, data=None):
+        """Patch the IMU prediction of the newest frame into its window
+        slot (host record still carries the previous frame's state on
+        the parsac-off path). Computed IN-PROGRAM from the extraction's
+        own preintegration delta (`data`) — no separate upload."""
         pd = getattr(self, "_pred_dev", None)
-        if pd is None:
+        if pd is not None:
+            try:
+                idx = frames.index(pd[0])
+            except ValueError:
+                return state
+            self._pred_dev = None
+            return state._replace(
+                q=state.q.at[idx].set(pd[1].astype(state.q.dtype)),
+                p=state.p.at[idx].set(pd[2].astype(state.p.dtype)),
+                v=state.v.at[idx].set(pd[3].astype(state.v.dtype)),
+            )
+        pf = getattr(self, "_pred_frame", None)
+        if pf is None or data is None:
             return state
         try:
-            idx = frames.index(pd[0])
+            idx = frames.index(pf)
         except ValueError:
             return state
-        self._pred_dev = None
-        return state._replace(
-            q=state.q.at[idx].set(pd[1].astype(state.q.dtype)),
-            p=state.p.at[idx].set(pd[2].astype(state.p.dtype)),
-            v=state.v.at[idx].set(pd[3].astype(state.v.dtype)),
-        )
+        if idx <= 0:
+            return state
+        self._pred_frame = None
+        return _predict_slot(state, data, jnp.asarray(idx, jnp.int32))
 
     def _override_from_localize(self, state, frames):
         """Patch the deferred localize target's state into another
@@ -458,7 +597,7 @@ class SlidingWindowTracker:
         loc = getattr(self, "_loc_result", None)
         if loc is None:
             return state
-        st_loc, target, slot = loc
+        st_loc, target, slot = loc[0], loc[1], loc[2]
         try:
             idx = frames.index(target)
         except ValueError:
@@ -604,7 +743,6 @@ class SlidingWindowTracker:
         fuv = np.stack([[f.K[0, 0], f.K[1, 1]] for f in frames]
                        + [[1.0, 1.0]] * (self.K_slots - len(frames)))
         gates = landmark_gates(st, data, jnp.asarray(fuv, dtype=st.p.dtype))
-        ok, _rpe = write_back(self.map, st, data, meta, extra=gates)
         # keep the solved window for slide_window's marginalization;
         # landmarks the gates just rejected must not contribute to the
         # prior (the re-extraction path would exclude them), so mask
@@ -612,15 +750,37 @@ class SlidingWindowTracker:
         self._last_window = (
             st, data._replace(landmark_mask=data.landmark_mask & gates[0]),
             meta)
-        self._apply_landmark_gates(meta, np.asarray(ok))
-        # the reference re-validates EVERY triangulated track each
-        # keyframe — including currently-invalid ones, which can win
-        # TT_VALID back (sliding_window_tracker.cpp:325-352). The device
-        # gates only cover tracks occupying window landmark slots; run
-        # the host twin over the rest so no track keeps a stale verdict.
-        covered = {tid for l, tid in enumerate(meta.track_ids)
-                   if meta.landmark_mask[l]}
-        self._revalidate_landmarks(frames, skip_ids=covered)
+
+        def apply_gates(extra_out):
+            ok, _rpe = extra_out
+            self._apply_landmark_gates(meta, np.asarray(ok))
+            # the reference re-validates EVERY triangulated track each
+            # keyframe — including currently-invalid ones, which can
+            # win TT_VALID back (sliding_window_tracker.cpp:325-352).
+            # The device gates only cover tracks occupying window
+            # landmark slots; run the host twin over the rest so no
+            # track keeps a stale verdict.
+            covered = {tid for l, tid in enumerate(meta.track_ids)
+                       if meta.landmark_mask[l]}
+            self._revalidate_landmarks(frames, skip_ids=covered)
+
+        if self._defer_writes():
+            # keyframe write-back deferred exactly like the subframe
+            # path: the fetch rides the next frame's tracker transfer;
+            # gate verdicts land one frame late — the reference's
+            # threaded-backend lag (frontend_worker.cpp worker loop).
+            # The localize stage already materialized the target's
+            # pose, so the latest-state snapshot stays fresh.
+            f = frames[-1]
+            self._latest_solved = (f.t, f.q.copy(), f.p.copy(),
+                                   f.v.copy(), f.bg.copy(), f.ba.copy())
+            pf = write_back_start(st, extra=gates)
+            self._pending_write = dict(st=st, data=data, meta=meta, pf=pf,
+                                       extra=gates, cb=apply_gates,
+                                       write_landmarks=True)
+        else:
+            out = write_back(self.map, st, data, meta, extra=gates)
+            apply_gates(out)
 
     def _refine_track_filter(self, frames):
         kf_ids = {f.id for f in frames}
@@ -648,32 +808,61 @@ class SlidingWindowTracker:
         covered by the window landmark slots (`skip_ids`); the verdict
         can resurrect TT_VALID, matching the reference's every-track
         re-validation (reference :325-352). Device/host parity is
-        guarded by tests/test_solver.py::test_landmark_gates_match_host."""
-        kf_by_id = {f.id: f for f in frames}
-        for tr in list(self.map.tracks.values()):
-            if tr.id in skip_ids or not tr.triangulated or tr.p_w is None:
-                continue
-            ok = True
-            rpe = 0.0
-            cnt = 0.0
+        guarded by tests/test_solver.py::test_landmark_gates_match_host.
+
+        Vectorized over all (track, window-observation) pairs: the
+        per-pair quaternion math as a python loop cost ~80 ms/keyframe
+        on this 2-CPU host and dominated the keyframe stage."""
+        slot = {f.id: i for i, f in enumerate(frames)}
+        trs = [tr for tr in self.map.tracks.values()
+               if tr.id not in skip_ids and tr.triangulated
+               and tr.p_w is not None]
+        if not trs:
+            return
+        R_cw = np.stack([nputil.quat_to_matrix(
+            nputil.quat_mul(f.q, f.q_bc)).T for f in frames])      # (F,3,3)
+        p_wc = np.stack([f.p + nputil.quat_rotate(f.q, f.p_bc)
+                         for f in frames])                          # (F,3)
+        fuv = np.stack([[f.K[0, 0], f.K[1, 1]] for f in frames])    # (F,2)
+        ti, fi, bo = [], [], []
+        for t_idx, tr in enumerate(trs):
             for fid, k in tr.obs.items():
-                f = kf_by_id.get(fid)
-                if f is None:
+                s = slot.get(fid)
+                if s is None:
                     continue
-                q_wc, p_wc = f.camera_pose()
-                y = nputil.quat_rotate_inv(q_wc, tr.p_w - p_wc)
-                if y[2] <= 1.0e-3 or y[2] > 50.0:
-                    ok = False
-                    break
-                fu, fv = f.K[0, 0], f.K[1, 1]
-                b = f.bearings[k]
-                du = (y[0] / y[2] - b[0] / b[2]) * fu
-                dv = (y[1] / y[2] - b[1] / b[2]) * fv
-                rpe += float(np.hypot(du, dv))
-                cnt += 1.0
-            ok = ok and (rpe / max(cnt, 1.0) < 3.0)
-            tr.valid = ok
-            tr.trash = not ok
+                ti.append(t_idx)
+                fi.append(s)
+                bo.append(frames[s].bearings[k])
+        n_tr = len(trs)
+        if not ti:
+            pair_ok = np.ones((0,), bool)
+            ti_a = np.zeros((0,), np.intp)
+            rpe_sum = np.zeros(n_tr)
+            cnt = np.zeros(n_tr)
+            depth_bad = np.zeros(n_tr, bool)
+        else:
+            ti_a = np.asarray(ti, np.intp)
+            fi_a = np.asarray(fi, np.intp)
+            b = np.stack(bo)                                        # (N,3)
+            X = np.stack([trs[i].p_w for i in ti_a])                # (N,3)
+            y = np.einsum("nij,nj->ni", R_cw[fi_a], X - p_wc[fi_a])
+            z = y[:, 2]
+            depth_pair_bad = (z <= 1.0e-3) | (z > 50.0)
+            zs = np.where(np.abs(z) > 1e-12, z, 1e-12)
+            bz = np.where(np.abs(b[:, 2]) > 1e-12, b[:, 2], 1e-12)
+            du = (y[:, 0] / zs - b[:, 0] / bz) * fuv[fi_a, 0]
+            dv = (y[:, 1] / zs - b[:, 1] / bz) * fuv[fi_a, 1]
+            rpe = np.hypot(du, dv)
+            rpe_sum = np.zeros(n_tr)
+            cnt = np.zeros(n_tr)
+            depth_bad = np.zeros(n_tr, bool)
+            np.add.at(rpe_sum, ti_a, rpe)
+            np.add.at(cnt, ti_a, 1.0)
+            np.logical_or.at(depth_bad, ti_a, depth_pair_bad)
+        ok_all = ~depth_bad & (rpe_sum / np.maximum(cnt, 1.0) < 3.0)
+        for i, tr in enumerate(trs):
+            tr.valid = bool(ok_all[i])
+            tr.trash = not tr.valid
         self.map.prune_tracks(lambda t: t.trash and not t.static)
 
     # ------------------------------------------------------------------
@@ -699,6 +888,9 @@ class SlidingWindowTracker:
                 data = data._replace(preint=preint, bg_lin=bg_lin,
                                      ba_lin=ba_lin)
             else:
+                # re-extraction reads host frame states: land any
+                # deferred keyframe write first (rare multi-slide case)
+                self.materialize_pending()
                 state, data, meta = extract_window(
                     self.map, frames, self.K_slots, self.L_slots, self.noise,
                     track_filter=self._refine_track_filter(frames),

@@ -279,33 +279,45 @@ def _extract_window_impl(
     bearings = np.zeros((K_slots, L_slots, 3))
     bearings[..., 2] = 1.0
     obs_mask = np.zeros((K_slots, L_slots), dtype=bool)
-    ref_idx = np.zeros((L_slots,), dtype=np.int32)
     inv_depth = np.zeros((L_slots,))
     lm_mask = np.zeros((L_slots,), dtype=bool)
-    track_ids = []
+    track_ids = [tr.id for tr in chosen]
     anchor_bearing = np.zeros((L_slots, 3))
     anchor_bearing[:, 2] = 1.0
 
-    for l, tr in enumerate(chosen):
-        slots = sorted(fid_to_slot[fid] for fid in tr.obs if fid in fid_to_slot)
-        a_slot = slots[0]
-        ref_idx[l] = a_slot
-        for fid, k in tr.obs.items():
-            s = fid_to_slot.get(fid)
-            if s is None:
-                continue
-            b = frames[s].bearings[k]
-            bearings[s, l] = b / np.linalg.norm(b)
-        obs_mask[[s for s in slots], l] = True
-        anchor_bearing[l] = bearings[a_slot, l]
-        # inverse depth from the stored world point in the anchor camera
-        af = frames[a_slot]
-        q_wc, p_wc = af.camera_pose()
-        if tr.p_w is not None:
-            rng = np.linalg.norm(nputil.quat_rotate_inv(q_wc, tr.p_w - p_wc))
-            inv_depth[l] = 1.0 / max(rng, 1e-9)
-            lm_mask[l] = True
-        track_ids.append(tr.id)
+    # vectorized per-frame fill (the per-(track, obs) python loop cost
+    # ~8 ms/extract on the 2-CPU host — a real slice of sequence fps)
+    tid_to_slot = {tid: l for l, tid in enumerate(track_ids)}
+    for s, f in enumerate(frames):
+        ks = np.nonzero(f.track_ids >= 0)[0]
+        if len(ks) == 0:
+            continue
+        ls = np.fromiter((tid_to_slot.get(int(t), -1)
+                          for t in f.track_ids[ks]), np.int64, len(ks))
+        sel = ls >= 0
+        if not sel.any():
+            continue
+        b = f.bearings[ks[sel]]
+        bearings[s, ls[sel]] = b / np.linalg.norm(b, axis=1, keepdims=True)
+        obs_mask[s, ls[sel]] = True
+    n_ch = len(chosen)
+    # anchor = first observing window slot (reference: the first
+    # observing frame is the inverse-depth anchor, map/track.cpp:90-101)
+    ref_idx = np.where(obs_mask.any(axis=0),
+                       obs_mask.argmax(axis=0), 0).astype(np.int32)
+    anchor_bearing[:n_ch] = bearings[ref_idx[:n_ch], np.arange(n_ch)]
+    if n_ch:
+        # inverse depth of the stored world point in the anchor camera;
+        # rotation preserves the norm, so only the camera center matters
+        p_wc_all = np.stack([f.p + nputil.quat_rotate(f.q, f.p_bc)
+                             for f in frames])
+        has = np.array([tr.p_w is not None for tr in chosen])
+        if has.any():
+            idxs = np.nonzero(has)[0]
+            X = np.stack([chosen[i].p_w for i in idxs])
+            rng = np.linalg.norm(X - p_wc_all[ref_idx[idxs]], axis=1)
+            inv_depth[idxs] = 1.0 / np.maximum(rng, 1e-9)
+            lm_mask[idxs] = True
 
     # ---- preintegration: one batched integrate over all K intervals ----
     # the passed imu_cap is a floor; the actual capacity is bucketed up
@@ -396,29 +408,51 @@ def _extract_window_impl(
     return state, data, meta
 
 
+def write_back_start(state: WindowState, extra=None,
+                     async_copy: bool = False):
+    """Stage the write_back fetch set for a later
+    write_back(..., prefetched=handle). async_copy=False by default: on
+    the tunneled TPU, transfers SERIALIZE — an early copy_to_host_async
+    of the solve result lands in front of the next frame's tracker
+    fetch and moves the ~30 ms round trip there instead of removing it
+    (measured round 4: tracker stage 51→81 ms, net -1.3 fps). The
+    deferral itself (solve overlapping host work, fetch at next
+    mirror_frame) is where the win is."""
+    from ..utils.fetch import fetch_packed_start
+
+    return fetch_packed_start(
+        (state.q, state.p, state.v, state.bg, state.ba, state.inv_depth,
+         extra), async_copy=async_copy)
+
+
 def write_back(pmap: PipelineMap, state: WindowState, data: WindowData,
                meta: WindowMeta, write_landmarks: bool = True,
-               frame_subset: Optional[set] = None, extra=None):
+               frame_subset: Optional[set] = None, extra=None,
+               prefetched=None):
     """Push optimized states back into the map. `extra` is an optional
     pytree of device arrays fetched in the SAME packed transfer as the
-    states and returned (host copies)."""
+    states and returned (host copies). `prefetched` is a handle from
+    write_back_start(state, extra) to complete instead of fetching."""
     from ..utils.timing import stage_timer
 
     with stage_timer("window_write_time"):
         return _write_back_impl(pmap, state, data, meta, write_landmarks,
-                                frame_subset, extra)
+                                frame_subset, extra, prefetched)
 
 
 def _write_back_impl(pmap, state, data, meta, write_landmarks, frame_subset,
-                     extra=None):
+                     extra=None, prefetched=None):
     from ..utils.fetch import fetch_packed
 
     # ONE device fetch for everything the host needs: jax.device_get
     # copies PER LEAF (6 tunnel round trips here); fetch_packed concats
     # on device and pulls a single buffer.
-    qs, ps, vs, bgs, bas, invd, extra_out = fetch_packed(
-        (state.q, state.p, state.v, state.bg, state.ba, state.inv_depth,
-         extra))
+    if prefetched is not None:
+        qs, ps, vs, bgs, bas, invd, extra_out = prefetched.get()
+    else:
+        qs, ps, vs, bgs, bas, invd, extra_out = fetch_packed(
+            (state.q, state.p, state.v, state.bg, state.ba, state.inv_depth,
+             extra))
     for i, f in enumerate(meta.frames):
         if frame_subset is not None and f.id not in frame_subset:
             continue

@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import factors
+from . import factors, gram
 from .window import ES_SIZE, WindowData, WindowState, retract
 
 
@@ -99,23 +99,41 @@ def assemble(state: WindowState, data: WindowData, opts: SolveOptions,
         Jr6 = Jr6 * wf[..., None]
         Jd = Jd * wf
 
-        # pose-block (6-dim, offset 0) contributions
-        P = jnp.zeros((K, 6, K, 6), dtype=dt)
-        eyeK = jnp.eye(K, dtype=dt)
-        P = P + jnp.einsum("klri,klrj,km->kimj", Jt, Jt, eyeK)
-        Htr = jnp.einsum("klri,klrj,lm->kimj", Jt, Jr6, R1)
-        P = P + Htr + jnp.transpose(Htr, (2, 3, 0, 1))
-        P = P + jnp.einsum("klri,klrj,lm,ln->minj", Jr6, Jr6, R1, R1)
-        H = H.at[:, 0:6, :, 0:6].add(P)
+        backend = gram.backend_choice() if axis_name is None else "einsum"
+        if backend == "pallas":
+            P, b6, Hll_c, Hfl6, bl_c = gram.reproj_gram_pallas(
+                r, Jt, Jr6, Jd, R1)
+            H = H.at[:, 0:6, :, 0:6].add(P)
+            b = b.at[:, 0:6].add(b6)
+            Hfl = Hfl.at[:, 0:6, :].add(Hfl6)
+            Hll = Hll + Hll_c
+            bl = bl + bl_c
+        elif backend == "gram":
+            P, b6, Hll_c, Hfl6, bl_c = gram.reproj_gram_xla(
+                r, Jt, Jr6, Jd, R1)
+            H = H.at[:, 0:6, :, 0:6].add(P)
+            b = b.at[:, 0:6].add(b6)
+            Hfl = Hfl.at[:, 0:6, :].add(Hfl6)
+            Hll = Hll + Hll_c
+            bl = bl + bl_c
+        else:
+            # pose-block (6-dim, offset 0) contributions
+            P = jnp.zeros((K, 6, K, 6), dtype=dt)
+            eyeK = jnp.eye(K, dtype=dt)
+            P = P + jnp.einsum("klri,klrj,km->kimj", Jt, Jt, eyeK)
+            Htr = jnp.einsum("klri,klrj,lm->kimj", Jt, Jr6, R1)
+            P = P + Htr + jnp.transpose(Htr, (2, 3, 0, 1))
+            P = P + jnp.einsum("klri,klrj,lm,ln->minj", Jr6, Jr6, R1, R1)
+            H = H.at[:, 0:6, :, 0:6].add(P)
 
-        b = b.at[:, 0:6].add(
-            jnp.einsum("klri,klr->ki", Jt, r) + jnp.einsum("klri,klr,lm->mi", Jr6, r, R1)
-        )
-        Hfl = Hfl.at[:, 0:6, :].add(
-            jnp.einsum("klri,klr->kil", Jt, Jd) + jnp.einsum("klri,klr,lm->mil", Jr6, Jd, R1)
-        )
-        Hll = Hll + jnp.einsum("klr,klr->l", Jd, Jd)
-        bl = bl + jnp.einsum("klr,klr->l", Jd, r)
+            b = b.at[:, 0:6].add(
+                jnp.einsum("klri,klr->ki", Jt, r) + jnp.einsum("klri,klr,lm->mi", Jr6, r, R1)
+            )
+            Hfl = Hfl.at[:, 0:6, :].add(
+                jnp.einsum("klri,klr->kil", Jt, Jd) + jnp.einsum("klri,klr,lm->mil", Jr6, Jd, R1)
+            )
+            Hll = Hll + jnp.einsum("klr,klr->l", Jd, Jd)
+            bl = bl + jnp.einsum("klr,klr->l", Jd, r)
 
     if opts.use_rotation:
         r, Jq, m = factors.rotation_residual_jac(state, data)
@@ -302,6 +320,21 @@ def solve_window_core(
 
 
 @partial(jax.jit, static_argnames=("opts1", "opts2"))
+def solve_chained_batch(states1, datas1, opts1, states2, datas2, opts2,
+                        s1s, s2s):
+    """Data-parallel solve_chained: every leaf carries a leading batch
+    (sequence) dim. One executable runs N sequences' fused
+    localize+refine subframe solves together — the per-frame data axis
+    of the multi-sequence driver (tools/multiseq.py, SURVEY §2.3
+    data-parallel row; single-chip limit of sharding the same axis
+    over a mesh)."""
+    def one(s1_, d1, s2_, d2, a, b):
+        return _solve_chained_core(s1_, d1, opts1, s2_, d2, opts2, a, b)
+
+    return jax.vmap(one)(states1, datas1, states2, datas2, s1s, s2s)
+
+
+@partial(jax.jit, static_argnames=("opts1", "opts2"))
 def solve_chained(state1: WindowState, data1: WindowData, opts1: SolveOptions,
                   state2: WindowState, data2: WindowData, opts2: SolveOptions,
                   s1, s2):
@@ -312,6 +345,11 @@ def solve_chained(state1: WindowState, data1: WindowData, opts1: SolveOptions,
     dispatch + a single fetch — on the tunneled TPU each extra blocking
     sync costs a full ~25 ms round trip. s1/s2 are traced scalars so
     varying window sizes reuse one executable."""
+    return _solve_chained_core(state1, data1, opts1, state2, data2, opts2,
+                               s1, s2)
+
+
+def _solve_chained_core(state1, data1, opts1, state2, data2, opts2, s1, s2):
     st1, _ = solve_window_core(state1, data1, opts1)
 
     def put(dst, src):

@@ -150,6 +150,12 @@ import os as _os
 
 _MM_MODE = _os.environ.get("XR_KLT_MM", "f32")
 MM_BF16 = _MM_MODE == "bf16"
+# XR_KLT_MM=mixed: bf16 sampling einsums on the UPPER pyramid levels
+# (they only seed the next level; the 0.5 px reverse-consistency gate
+# never sees them) + f32/HIGHEST at level 0 where sub-pixel accuracy is
+# decided — the precision split suggested by the round-3 A/B where full
+# bf16 lost ~10% of tracks/frame (AB_LK_r03.json).
+MM_MIXED = _MM_MODE == "mixed"
 
 # Run the reverse-consistency pass at pyramid level 0 only (see
 # track_keypoints). Flip to False to force the full-pyramid reverse
@@ -160,7 +166,7 @@ BWD_LEVEL0 = True
 def _track_level_mxu(
     prev_img, prev_ix, prev_iy, next_img, pts_prev, guess, valid,
     win: int, iters: int, eps: float, min_eig_floor: float = 1e-4,
-    final: bool = False, search: int = SEARCH,
+    final: bool = False, search: int = SEARCH, force_bf16: bool = False,
 ):
     """TPU-fast level tracker: per point, ONE (SEARCH,SEARCH) block is
     sliced around the initial guess, then every LK iteration samples its
@@ -219,7 +225,8 @@ def _track_level_mxu(
     lx0 = guess[:, 0] - jx0
     ly0 = guess[:, 1] - jy0
 
-    mm_dt = jnp.bfloat16 if (MM_BF16 and dt == jnp.float32) else dt
+    mm_dt = jnp.bfloat16 if ((MM_BF16 or force_bf16)
+                             and dt == jnp.float32) else dt
     # HIGHEST: true-f32 matmul passes when operands are f32 — the TPU
     # einsum default multiplies in bf16, which is exactly the precision
     # loss the f32 default above exists to avoid
@@ -325,6 +332,7 @@ def lk_flow(
                 prev_img, ix, iy, next_pyr[lev], pts_prev / s, guess, valid,
                 win=win, iters=iters, eps=eps, final=(lev == 0),
                 search=search_top if lev == levels - 1 else 32,
+                force_bf16=(MM_MIXED and lev > 0),
             )
         elif backend == "pallas":
             from . import klt_pallas

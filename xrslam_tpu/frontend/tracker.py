@@ -194,21 +194,27 @@ class KLTFeatureTracker(FeatureTrackerBase):
             levels=int(pyramid_levels))
 
     # ------------------------------------------------------------------
-    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec) -> None:
+    def track_frame(self, tracker_map: PipelineMap, frame: FrameRec,
+                    rider=None) -> None:
         """One frame of tracking + detection.
 
         Structured as dispatch-everything / fetch-once: every device
         kernel for the frame (pyramid, KLT, RANSAC gates, GFTT) is
         dispatched asynchronously, then a SINGLE jax.device_get pulls
         all host-needed results — one transfer round trip per frame
-        instead of ~7 (the tunnel RTT dominates sequence fps)."""
+        instead of ~7 (the tunnel RTT dominates sequence fps). A
+        `rider` fetch handle (the backend's deferred write-back buffer)
+        gets its transfer folded into the same round trip."""
+        from ..utils.timing import stage_timer
+
         image = getattr(frame, "_image", None)
         assert image is not None, "KLTFeatureTracker needs frame._image"
         if image.dtype != np.uint8:
             im_dev = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
         else:
             im_dev = image
-        pyr = self._preprocess(jnp.asarray(im_dev))
+        with stage_timer("tracker_upload_time"):
+            pyr = self._preprocess(jnp.asarray(im_dev))
 
         frame._pyr = pyr
         frame._pts = np.zeros((self.capacity, 2), dtype=np.float64)
@@ -217,8 +223,9 @@ class KLTFeatureTracker(FeatureTrackerBase):
         prev = self._prev
         fetch = {}
         track_ctx = None
-        if prev is not None and prev.n_keypoints() > 0 and hasattr(prev, "_pyr"):
-            track_ctx = self._dispatch_track(prev, frame, fetch)
+        with stage_timer("tracker_dispatch_time"):
+            if prev is not None and prev.n_keypoints() > 0 and hasattr(prev, "_pyr"):
+                track_ctx = self._dispatch_track(prev, frame, fetch)
 
         # detection only on frames issued to the backend (reference
         # slidind_window_frame_tag gate, feature_tracker.cpp:128-129)
@@ -230,7 +237,12 @@ class KLTFeatureTracker(FeatureTrackerBase):
             fetch["cand"] = cand
             fetch["cvalid"] = cvalid
 
-        vals = fetch_packed(fetch) if fetch else {}  # ONE transfer
+        if rider is not None and rider.flat is not None:
+            fetch["_rider"] = rider.flat
+        with stage_timer("tracker_fetch_time"):
+            vals = fetch_packed(fetch) if fetch else {}  # ONE transfer
+        if "_rider" in vals:
+            rider.complete_with(vals.pop("_rider"))
 
         if track_ctx is not None:
             self._finish_track(tracker_map, prev, frame, track_ctx, vals)

@@ -164,6 +164,10 @@ def _map_from(d: dict) -> PipelineMap:
 def pipeline_tree(p: VIOPipeline) -> dict:
     """Everything needed to resume (see module docstring)."""
     swt = p.swt
+    if swt is not None:
+        # land any in-flight deferred subframe write before serializing
+        # frame states
+        swt.materialize_pending()
     tree = {
         "tracker_map": _map_tree(p.tracker_map),
         "gyro_buf": [[t, w] for t, w in p.gyro_buf],

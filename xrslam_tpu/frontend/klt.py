@@ -162,6 +162,9 @@ MM_MIXED = _MM_MODE == "mixed"
 # pass of cv::calcOpticalFlowPyrLK.
 BWD_LEVEL0 = True
 
+# LK steps per while_loop trip (identical math; see _track_level_mxu)
+UNROLL = int(_os.environ.get("XR_KLT_UNROLL", "1"))
+
 
 def _track_level_mxu(
     prev_img, prev_ix, prev_iy, next_img, pts_prev, guess, valid,
@@ -240,8 +243,7 @@ def _track_level_mxu(
     # all-converged early exit below
     dead = ~(cond_ok & in_bounds0 & valid)
 
-    def body(carry):
-        i, lx, ly, conv = carry
+    def step(lx, ly, conv):
         cx = jnp.clip(lx - r, 0.0, lmax)
         cy = jnp.clip(ly - r, 0.0, lmax)
         R = hat_sel(cy)                                  # rows  (N,win,S)
@@ -258,7 +260,18 @@ def _track_level_mxu(
         lx_n = jnp.where(conv, lx, lx + dx)
         ly_n = jnp.where(conv, ly, ly + dy)
         conv = conv | ((dx * dx + dy * dy) < eps * eps)
-        return i + 1, lx_n, ly_n, conv
+        return lx_n, ly_n, conv
+
+    def body(carry):
+        i, lx, ly, conv = carry
+        # UNROLL LK steps per loop trip: identical iterates (converged
+        # points never move; the eps check runs per step), but the
+        # sequential while_loop carries fewer round trips of loop
+        # overhead — per-iteration dispatch cost, not FLOPs, dominates
+        # this kernel (AB_KLT_r04.json)
+        for _ in range(UNROLL):
+            lx, ly, conv = step(lx, ly, conv)
+        return i + UNROLL, lx, ly, conv
 
     # while_loop instead of a fixed-trip fori: identical iterates (a
     # converged point never moves again), but the whole batch stops as

@@ -93,6 +93,8 @@ def run(frame_dir=None):
 
 
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
     print(json.dumps(run(None if not argv else argv[0])))
 
 

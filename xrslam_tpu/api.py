@@ -149,6 +149,12 @@ class XRSLAM:
         out = self.pipeline.predict_pose(self.pipeline.last_imu_t)
         self._note_output(out)
 
+    def flush(self) -> None:
+        """Land deferred backend work (Config.worker_overlap): issue
+        the last tracked frame and apply pending device write-backs.
+        Call at end of stream; no-op otherwise."""
+        self.pipeline.flush()
+
     # -- output (reference XRSLAMGetResult, XRSLAMManager.cpp:154-246) --
     def get_result(self, result_type: ResultType):
         rt = ResultType(result_type)

@@ -108,6 +108,16 @@ class Config:
     # fresh via IMU forward propagation). No reference config
     # counterpart; parsac_flag forces synchronous writes either way.
     deferred_subframe_write: bool = True
+    # run the backend (initializer / sliding-window issue) for frame t
+    # DURING frame t+1's tracker round trip — after the tracker's device
+    # programs are dispatched, before its blocking fetch — so backend
+    # host work overlaps device compute + tunnel latency. One-frame
+    # backend lag, the reference's XRSLAM_ENABLE_THREADING=ON worker
+    # semantics (frontend_worker.cpp job queue) without threads; output
+    # poses stay fresh via IMU forward propagation from the last
+    # optimized anchor. Call VIOPipeline.flush() (api.XRSLAM.flush) at
+    # end of stream to land the final deferred frame.
+    worker_overlap: bool = False
     # fixed landmark-slot capacities of the jitted window solves (no
     # reference counterpart — the reference builds dynamic Ceres
     # problems; we compile one executable per static shape)

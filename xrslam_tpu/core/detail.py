@@ -50,11 +50,18 @@ class FeatureTrackerBase:
     interface."""
 
     def track_frame(self, tracker_map: PipelineMap, frame: FrameRec,
-                    rider=None) -> None:
+                    rider=None, between=None) -> None:
         """`rider` (optional): an in-flight fetch handle whose packed
         buffer the tracker should pull in its own single device fetch
         (utils.fetch._FetchHandle.complete_with) — combines the
-        backend's deferred write-back with the tracker round trip."""
+        backend's deferred write-back with the tracker round trip.
+
+        `between` (optional): a zero-arg callback the tracker must call
+        AFTER dispatching its device programs and BEFORE its blocking
+        fetch — the pipeline's overlapped backend stage (worker_overlap)
+        runs there so its host work hides behind the tracker's device
+        compute + tunnel round trip. May return a fetch handle to ride
+        the same fetch (used when `rider` is None)."""
         raise NotImplementedError
 
 
@@ -100,6 +107,9 @@ class VIOPipeline:
         # reference counts frames, feature_tracker.cpp:47-49; frame ids
         # are globally monotonic and would alias across instances)
         self._frame_count: int = 0
+        # worker_overlap: the issued-but-not-yet-processed frame whose
+        # backend stage runs during the NEXT frame's tracker round trip
+        self._deferred_issue: Optional[FrameRec] = None
 
     def set_localizer(self, localizer) -> None:
         """Install a visual-localization backend (MapLocalizer /
@@ -244,13 +254,32 @@ class VIOPipeline:
         # tracker's single fetch: two blocking syncs each cost a full
         # ~30 ms tunnel round trip, one combined transfer costs one
         rider = None
+        between = None
         import os as _os
 
-        if (self.swt is not None and self.swt._pending_write is not None
-                and _os.environ.get("XR_FETCH_RIDER", "1") != "0"):
+        rider_ok = _os.environ.get("XR_FETCH_RIDER", "1") != "0"
+        if self.config.worker_overlap:
+            # overlapped backend: the previous frame's backend stage
+            # (initializer / sliding-window track) runs between the
+            # tracker's device dispatch and its blocking fetch, hiding
+            # ~all backend host work behind device compute + tunnel RTT.
+            # Returns the backend's freshly deferred write-back handle
+            # so the tracker can enqueue its pull on the fetch worker —
+            # it completes during inter-frame host work and the NEXT
+            # backend stage's materialize_pending finds it ready.
+            def between():
+                with stage_timer("backend_overlap_time"):
+                    self._run_deferred_issue()
+                if (rider_ok and self.swt is not None
+                        and self.swt._pending_write is not None):
+                    return self.swt._pending_write["pf"]
+                return None
+        elif (self.swt is not None and self.swt._pending_write is not None
+                and rider_ok):
             rider = self.swt._pending_write["pf"]
         with stage_timer("feature_tracker_time"):
-            self.tracker.track_frame(self.tracker_map, frame, rider=rider)
+            self.tracker.track_frame(self.tracker_map, frame, rider=rider,
+                                     between=between)
 
         if self.swt is not None and self.config.visual_pnp_enable:
             self._solve_pnp_highrate(frame)
@@ -273,7 +302,27 @@ class VIOPipeline:
             self.tracker_map.detach_frame(0)
 
         if issue_tag:
-            self._issue_frame(frame)
+            if self.config.worker_overlap:
+                # defer to the next frame's tracker round trip (the
+                # between-callback above); at most one frame in flight
+                self._deferred_issue = frame
+            else:
+                self._issue_frame(frame)
+
+    def _run_deferred_issue(self):
+        f = self._deferred_issue
+        if f is None:
+            return
+        self._deferred_issue = None
+        self._issue_frame(f)
+
+    def flush(self) -> None:
+        """Complete deferred backend work at end of stream
+        (worker_overlap): issue the last tracked frame and land any
+        pending device write-back. No-op otherwise."""
+        self._run_deferred_issue()
+        if self.swt is not None:
+            self.swt.materialize_pending()
 
     def _issue_frame(self, frame: FrameRec):
         """reference frontend_worker.cpp:28-86."""
@@ -356,7 +405,9 @@ class VIOPipeline:
         q_wc2, p_wc2 = pnp_mod.refine_pose_pnp(
             q_wc, p_wc, X, frame.bearings, valid, frame.sqrt_inv_cov2,
             iters=cfg.solver_iteration_limit)
-        q_wc2, p_wc2 = jax.device_get((q_wc2, p_wc2))  # one round trip
+        from ..utils.fetch import fetch_packed
+
+        q_wc2, p_wc2 = fetch_packed((q_wc2, p_wc2))  # one locked transfer
         q_b2 = nputil.quat_normalize(
             nputil.quat_mul(q_wc2, nputil.quat_conj(frame.q_bc)))
         p_b2 = p_wc2 - nputil.quat_rotate(q_b2, frame.p_bc)
@@ -441,7 +492,9 @@ class SyntheticTracker(FeatureTrackerBase):
         self._key = _jax.random.PRNGKey(0 if config is None else config.random)
 
     def track_frame(self, tracker_map: PipelineMap, frame: FrameRec,
-                    rider=None) -> None:
+                    rider=None, between=None) -> None:
+        if between is not None:
+            between()  # no device round trip to overlap with; run now
         hint = getattr(frame, "_hint", None)
         if hint is None:
             return

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config import Config
 from ..estimation.solver import SolveOptions, solve_window
+from ..utils.fetch import locked_asarray
 from ..geometry import homography as homo_mod
 from ..imu import preintegration as pre
 from ..ransac import stereo as stereo_mod
@@ -436,9 +437,9 @@ class Initializer:
             qi, _ = self._imu_pose(fi)
             qj, _ = self._imu_pose(fj)
             d = self.deltas[j]
-            dq_dbg = np.asarray(d.dq_dbg)
+            dq_dbg = locked_asarray(d.dq_dbg)
             r = nputil.logmap(nputil.quat_mul(
-                nputil.quat_conj(nputil.quat_mul(qi, np.asarray(d.q))), qj))
+                nputil.quat_conj(nputil.quat_mul(qi, locked_asarray(d.q))), qj))
             A += dq_dbg.T @ dq_dbg
             b += dq_dbg.T @ r
         self.bg = np.linalg.lstsq(A, b, rcond=None)[0]
@@ -461,11 +462,11 @@ class Initializer:
             A[i * 6: i * 6 + 3, 0:3] = -0.5 * dt * dt * np.eye(3)
             A[i * 6: i * 6 + 3, 3] = pcj - pci
             A[i * 6: i * 6 + 3, 4 + i * 3: 7 + i * 3] = -dt * np.eye(3)
-            b[i * 6: i * 6 + 3] = Ri @ np.asarray(d.p) + (Rj @ fj.p_bc - Ri @ fi.p_bc)
+            b[i * 6: i * 6 + 3] = Ri @ locked_asarray(d.p) + (Rj @ fj.p_bc - Ri @ fi.p_bc)
             A[i * 6 + 3: i * 6 + 6, 0:3] = -dt * np.eye(3)
             A[i * 6 + 3: i * 6 + 6, 4 + i * 3: 7 + i * 3] = -np.eye(3)
             A[i * 6 + 3: i * 6 + 6, 4 + j * 3: 7 + j * 3] = np.eye(3)
-            b[i * 6 + 3: i * 6 + 6] = Ri @ np.asarray(d.v)
+            b[i * 6 + 3: i * 6 + 6] = Ri @ locked_asarray(d.v)
         x = np.linalg.lstsq(A, b, rcond=None)[0]
         g = x[0:3]
         self.gravity = g / max(np.linalg.norm(g), 1e-12) * GRAVITY_NOMINAL
@@ -498,12 +499,12 @@ class Initializer:
                 A[i * 6: i * 6 + 3, 0:2] = -0.5 * dt * dt * Tg
                 A[i * 6: i * 6 + 3, 2] = pcj - pci
                 A[i * 6: i * 6 + 3, 3 + i * 3: 6 + i * 3] = -dt * np.eye(3)
-                b[i * 6: i * 6 + 3] = (0.5 * dt * dt * self.gravity + Ri @ np.asarray(d.p)
+                b[i * 6: i * 6 + 3] = (0.5 * dt * dt * self.gravity + Ri @ locked_asarray(d.p)
                                        + (Rj @ fj.p_bc - Ri @ fi.p_bc))
                 A[i * 6 + 3: i * 6 + 6, 0:2] = -dt * Tg
                 A[i * 6 + 3: i * 6 + 6, 3 + i * 3: 6 + i * 3] = -np.eye(3)
                 A[i * 6 + 3: i * 6 + 6, 3 + j * 3: 6 + j * 3] = np.eye(3)
-                b[i * 6 + 3: i * 6 + 6] = dt * self.gravity + Ri @ np.asarray(d.v)
+                b[i * 6 + 3: i * 6 + 6] = dt * self.gravity + Ri @ locked_asarray(d.v)
             x = np.linalg.lstsq(A, b, rcond=None)[0]
             dg = x[0:2]
             g = self.gravity + damp * Tg @ dg

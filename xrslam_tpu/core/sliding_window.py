@@ -206,8 +206,11 @@ class SlidingWindowTracker:
         self._solve_calls[variant] = n + 1
         if n != 1 or variant in self._iter_seconds or iterations <= 0:
             return
+        from ..utils.fetch import TRANSFER_LOCK
+
         t0 = time.perf_counter()
-        jax.block_until_ready(result)
+        with TRANSFER_LOCK:
+            jax.block_until_ready(result)
         dt = time.perf_counter() - t0
         self._iter_seconds[variant] = dt / iterations
 
@@ -753,7 +756,9 @@ class SlidingWindowTracker:
 
         def apply_gates(extra_out):
             ok, _rpe = extra_out
-            self._apply_landmark_gates(meta, np.asarray(ok))
+            from ..utils.fetch import locked_asarray
+
+            self._apply_landmark_gates(meta, locked_asarray(ok))
             # the reference re-validates EVERY triangulated track each
             # keyframe — including currently-invalid ones, which can
             # win TT_VALID back (sliding_window_tracker.cpp:325-352).

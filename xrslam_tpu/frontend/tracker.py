@@ -39,7 +39,7 @@ from ..core.detail import FeatureTrackerBase
 from ..core.map import FrameRec, PipelineMap
 from ..ransac import stereo as stereo_mod
 from ..utils import inspection
-from ..utils.fetch import fetch_packed
+from ..utils.fetch import fetch_packed, fetch_packed_start
 from . import image as img_ops
 from . import klt
 
@@ -181,6 +181,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
         self._rng = np.random.default_rng(config.random)
         self._prev: Optional[FrameRec] = None
         self._Kinv_dev = None  # cached device K^-1 (intrinsics are fixed)
+        self._fetch_worker_inst = None  # lazy (worker_overlap only)
 
         cfg = config
         # module-level jit keyed by static CLAHE params: a per-instance
@@ -195,7 +196,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
 
     # ------------------------------------------------------------------
     def track_frame(self, tracker_map: PipelineMap, frame: FrameRec,
-                    rider=None) -> None:
+                    rider=None, between=None) -> None:
         """One frame of tracking + detection.
 
         Structured as dispatch-everything / fetch-once: every device
@@ -204,7 +205,12 @@ class KLTFeatureTracker(FeatureTrackerBase):
         all host-needed results — one transfer round trip per frame
         instead of ~7 (the tunnel RTT dominates sequence fps). A
         `rider` fetch handle (the backend's deferred write-back buffer)
-        gets its transfer folded into the same round trip."""
+        gets its transfer folded into the same round trip. The
+        `between` callback (the pipeline's overlapped backend stage,
+        worker_overlap) runs after all dispatches, just before the
+        blocking fetch, so its host work executes while the device
+        chews through the dispatched programs; a fetch handle it
+        returns rides the same fetch."""
         from ..utils.timing import stage_timer
 
         image = getattr(frame, "_image", None)
@@ -237,12 +243,67 @@ class KLTFeatureTracker(FeatureTrackerBase):
             fetch["cand"] = cand
             fetch["cvalid"] = cvalid
 
-        if rider is not None and rider.flat is not None:
-            fetch["_rider"] = rider.flat
-        with stage_timer("tracker_fetch_time"):
-            vals = fetch_packed(fetch) if fetch else {}  # ONE transfer
-        if "_rider" in vals:
-            rider.complete_with(vals.pop("_rider"))
+        if between is not None:
+            # overlapped backend: dispatch the pack program NOW (so the
+            # concat queues right behind the tracker programs, ahead of
+            # any device work `between` dispatches) and hand its pull to
+            # the persistent fetch worker (device_get blocks in network
+            # I/O with the GIL released), then run the backend stage on
+            # this thread — the tunnel round trip + device compute hide
+            # behind backend host work. After `between`, the backend's
+            # freshly deferred write-back (returned handle) is enqueued
+            # on the same worker: its pull completes during the
+            # inter-frame host work (finish/decode/dispatch), so the
+            # NEXT backend stage's materialize_pending finds it ready
+            # instead of paying a round trip at its start.
+            import threading
+
+            handle = fetch_packed_start(fetch, async_copy=False) \
+                if fetch else None
+            box = {}
+            ev_b = threading.Event()
+
+            def _pull_pack():
+                try:
+                    if handle is not None:
+                        box["vals"] = handle.get()
+                except BaseException as e:  # propagate to caller thread
+                    box["err"] = e
+                finally:
+                    ev_b.set()
+
+            self._fetch_worker.submit(_pull_pack)
+            try:
+                pend = between()
+            finally:
+                with stage_timer("tracker_fetch_time"):
+                    ev_b.wait()
+            if "err" in box:
+                raise box["err"]
+            vals = box.get("vals", {})
+            if pend is not None and pend.flat is not None \
+                    and pend._event is None:
+                ev_a = threading.Event()
+                pend._event = ev_a
+
+                def _pull_pend():
+                    from ..utils.fetch import locked_asarray
+
+                    try:
+                        pend.complete_with(locked_asarray(pend.flat))
+                    finally:
+                        # on failure, get() falls back to its own
+                        # transfer of pend.flat — correct, just slower
+                        ev_a.set()
+
+                self._fetch_worker.submit(_pull_pend)
+        else:
+            if rider is not None and rider.flat is not None:
+                fetch["_rider"] = rider.flat
+            with stage_timer("tracker_fetch_time"):
+                vals = fetch_packed(fetch) if fetch else {}  # ONE transfer
+            if "_rider" in vals:
+                rider.complete_with(vals.pop("_rider"))
 
         if track_ctx is not None:
             self._finish_track(tracker_map, prev, frame, track_ctx, vals)
@@ -279,6 +340,14 @@ class KLTFeatureTracker(FeatureTrackerBase):
 
         frame._image = None
         self._prev = frame
+
+    @property
+    def _fetch_worker(self):
+        from ..utils.fetch import FetchWorker
+
+        if self._fetch_worker_inst is None:
+            self._fetch_worker_inst = FetchWorker()
+        return self._fetch_worker_inst
 
     # ------------------------------------------------------------------
     def _gyro_delta_q(self, prev: FrameRec, frame: FrameRec) -> np.ndarray:

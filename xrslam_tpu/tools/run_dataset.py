@@ -33,10 +33,12 @@ from ..utils.timing import stage_timer, timings
 
 
 def run_sequence(uri: str, config: Config, tum_out=None, max_frames=None,
-                 async_reader: bool = True, progress: bool = False):
+                 async_reader: bool = True, progress: bool = False,
+                 viewer=None):
     """Returns (ts, qs (N,4)[w,x,y,z], ps (N,3)) — one output pose per
     camera frame (the reference records the predicted pose after each
-    RunOneFrame, main.cpp:147-160)."""
+    RunOneFrame, main.cpp:147-160). `viewer`: an optional
+    live_viewer.LiveViewer to publish poses/landmarks/stats to."""
     slam = api.XRSLAM(config=config)
     reader = create_reader(uri, config, async_=async_reader)
     ts, qs, ps = [], [], []
@@ -65,12 +67,21 @@ def run_sequence(uri: str, config: Config, tum_out=None, max_frames=None,
                 ts.append(pose.timestamp)
                 qs.append([w_, x, y, z])
                 ps.append(pose.translation)
+            if viewer is not None and state == api.State.TRACKING_SUCCESS:
+                lms = slam.get_result(api.ResultType.LANDMARKS)
+                viewer.publish(
+                    pose_q=qs[-1], pose_p=ps[-1], landmarks=lms,
+                    stats={"frame": n_img,
+                           "fps": n_img / max(
+                               time.perf_counter() - t_start, 1e-9),
+                           "landmarks": len(lms)})
             if progress and n_img % 50 == 0:
                 el = time.perf_counter() - t_start
                 print(f"[{n_img}] {slam.pipeline.state} "
                       f"{n_img/el:.1f} img/s", file=sys.stderr)
             if max_frames and n_img >= max_frames:
                 break
+    slam.flush()  # land the deferred backend frame (worker_overlap)
     fps = n_img / max(time.perf_counter() - t_start, 1e-9)
     inspection.inspect(inspection.FEATURE_TRACKER_FPS, fps)
     ts, qs, ps = np.asarray(ts), np.asarray(qs), np.asarray(ps)
@@ -101,6 +112,9 @@ def main(argv=None):
     ap.add_argument("--viz", metavar="DIR",
                     help="write per-frame keypoint overlays + a "
                          "trajectory plot into DIR")
+    ap.add_argument("--live", metavar="PORT", type=int,
+                    help="serve the interactive live viewer (trajectory/"
+                         "landmarks/frustum/feature overlay) on PORT")
     args = ap.parse_args(argv)
 
     if args.slam_config and args.device_config:
@@ -114,9 +128,17 @@ def main(argv=None):
 
         writer = OverlayWriter(args.viz)
 
+    viewer = None
+    if args.live is not None:
+        from .live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.live)
+        print(f"live viewer: {viewer.url}", file=sys.stderr)
+
     ts, qs, ps = run_sequence(args.dataset, config, tum_out=args.tum,
                               max_frames=args.max_frames,
-                              async_reader=not args.sync, progress=True)
+                              async_reader=not args.sync, progress=True,
+                              viewer=viewer)
     out = {"frames_tracked": len(ts),
            "fps": inspection.inspect_get(inspection.FEATURE_TRACKER_FPS),
            "timings": timings()}

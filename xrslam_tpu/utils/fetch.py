@@ -15,11 +15,27 @@ exactly through the float encoding (ints up to the dtype's mantissa).
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# All blocking device→host pulls serialize on this lock: the tunneled
+# TPU client WEDGES (indefinite hang, observed reproducibly) when two
+# threads issue concurrent transfers. Any code that pulls from a helper
+# thread while the pipeline runs (FetchWorker jobs, handle.get, packed
+# fetches) must hold it. Uploads (device_put) have run concurrently
+# with pulls without incident and stay unlocked.
+TRANSFER_LOCK = threading.RLock()
+
+
+def locked_asarray(x) -> np.ndarray:
+    """np.asarray(device_array) under TRANSFER_LOCK — the safe way to
+    pull from a helper thread."""
+    with TRANSFER_LOCK:
+        return np.asarray(x)
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -99,6 +115,10 @@ class _FetchHandle:
         self._widest = widest
         self._flat = flat
         self._buf = None  # host copy once completed (ride_along)
+        # optional threading.Event: a puller thread completing this
+        # handle (complete_with) sets it; get() blocks on it first, so
+        # a consumer on another thread never double-transfers the buffer
+        self._event = None
 
     @property
     def flat(self):
@@ -114,13 +134,17 @@ class _FetchHandle:
         self._buf = np.asarray(buf)
 
     def get(self):
+        if self._event is not None:
+            self._event.wait()
         leaves, dev_idx, widest = self._leaves, self._dev_idx, self._widest
         if self._flat is None:
-            return jax.tree.unflatten(
-                self._treedef, [np.asarray(x) for x in leaves])
+            with TRANSFER_LOCK:
+                return jax.tree.unflatten(
+                    self._treedef, [np.asarray(x) for x in leaves])
         # completes the copy (already on host if ridden along another
         # fetch via complete_with)
-        buf = self._buf if self._buf is not None else np.asarray(self._flat)
+        buf = self._buf if self._buf is not None \
+            else locked_asarray(self._flat)
         if buf[0] != 0:
             raise ValueError(
                 "fetch_packed: an int leaf holds values beyond the "
@@ -180,3 +204,36 @@ def fetch_packed_start(tree, async_copy: bool = True) -> _FetchHandle:
 def fetch_packed(tree):
     """Like jax.device_get(tree), but one device→host transfer total."""
     return fetch_packed_start(tree, async_copy=False).get()
+
+
+class FetchWorker:
+    """A single daemon thread draining FIFO transfer jobs.
+
+    Device→host pulls on the tunneled TPU block in network I/O with the
+    GIL released; routing them through one ordered worker lets the
+    pipeline overlap pulls with host compute while keeping transfers
+    serialized (concurrent pulls contend on the one tunnel stream
+    anyway). Jobs must catch their own exceptions and signal their own
+    completion events."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._th = threading.Thread(target=self._run, daemon=True,
+                                    name="xrslam-fetch-worker")
+        self._th.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            job()
+
+    def submit(self, job) -> None:
+        self._q.put(job)
+
+    def close(self) -> None:
+        self._q.put(None)

@@ -60,6 +60,13 @@ class InspectionSupport:
             cls._subs.setdefault(name, []).append(fn)
 
     @classmethod
+    def unsubscribe(cls, name: str, fn: Callable[[Any], None]) -> None:
+        with cls._lock:
+            subs = cls._subs.get(name)
+            if subs and fn in subs:
+                subs.remove(fn)
+
+    @classmethod
     def clear(cls) -> None:
         with cls._lock:
             cls._slots.clear()
@@ -71,3 +78,11 @@ def inspect(name: str, value: Any) -> None:
 
 def inspect_get(name: str, default: Any = None) -> Any:
     return InspectionSupport.get(name, default)
+
+
+def subscribe(name: str, fn: Callable[[Any], None]) -> None:
+    InspectionSupport.subscribe(name, fn)
+
+
+def unsubscribe(name: str, fn: Callable[[Any], None]) -> None:
+    InspectionSupport.unsubscribe(name, fn)

@@ -216,14 +216,24 @@ def test_solver_time_limit_budget():
     swt2._iter_seconds["refine"] = 10.0
     assert swt2._budgeted_iterations("refine") == 10
 
-    # _solve_timed records an estimate only from the second call on
+    # _solve_timed skips the compile call, then times the next three
+    # and fixes the estimate at their MEDIAN (one sample on the noisy
+    # tunnel can mis-clamp by ~2x); no timing sync after calibration
     from xrslam_tpu.io.synthetic import demo_window_problem
     st, data = demo_window_problem(4, 16, jnp.float64)
     opts = SolveOptions(iterations=2)
     swt._solve_timed("probe", st, data, opts)
-    assert "probe" not in swt._iter_seconds
+    assert "probe" not in swt._iter_seconds  # call 0: compile, untimed
+    for _ in range(swt._CALIB_SAMPLES - 1):
+        swt._solve_timed("probe", st, data, opts)
+        assert "probe" not in swt._iter_seconds
     swt._solve_timed("probe", st, data, opts)
-    assert swt._iter_seconds["probe"] > 0
+    samples = swt._solve_samples["probe"]
+    assert len(samples) == swt._CALIB_SAMPLES
+    assert swt._iter_seconds["probe"] == sorted(samples)[len(samples) // 2]
+    # steady state: later calls add no further samples
+    swt._solve_timed("probe", st, data, opts)
+    assert len(swt._solve_samples["probe"]) == swt._CALIB_SAMPLES
 
 
 def test_landmark_gates():
@@ -337,11 +347,11 @@ def test_landmark_gates_match_host():
 
 def test_solver_time_limit_no_steady_state_syncs(monkeypatch):
     """Enabling solver_time_limit must not add blocking syncs in steady
-    state: the per-variant executable cost is measured ONCE
-    (post-compile, call 1), then every solve stays async; and the
-    chained (fused) path is budgeted as one program instead of being
-    split (reference solver.cpp:186 is a hard in-solve limit; ours
-    clamps iteration counts from the measured compiled cost)."""
+    state: the per-variant executable cost is measured at startup only
+    (calls 1..3 post-compile, median), then every solve stays async;
+    and the chained (fused) path is budgeted as one program instead of
+    being split (reference solver.cpp:186 is a hard in-solve limit;
+    ours clamps iteration counts from the measured compiled cost)."""
     from xrslam_tpu.config import Config
     from xrslam_tpu.core.map import PipelineMap
     from xrslam_tpu.core.sliding_window import SlidingWindowTracker
@@ -355,9 +365,10 @@ def test_solver_time_limit_no_steady_state_syncs(monkeypatch):
     real = jax.block_until_ready
     monkeypatch.setattr(jax, "block_until_ready",
                         lambda x: (calls.append(1), real(x))[1])
-    for _ in range(6):
+    for _ in range(10):
         swt._solve_timed("v", st, data, SolveOptions(iterations=2))
-    assert len(calls) == 1, "only the one-time measurement may sync"
+    assert len(calls) == swt._CALIB_SAMPLES, \
+        "only the startup calibration calls may sync"
     assert swt._iter_seconds["v"] > 0
 
     # chained budgeting: 10 ms/iter estimate vs 50 ms budget with a

@@ -238,4 +238,16 @@ def load_config(slam_yaml: str, device_yaml: str) -> Config:
                    "port": "visual_localization_config_port"}[n]
             kw[key] = loc[n]
 
+    # coerce scalars to the declared field types: yaml-cpp (the
+    # reference loader) accepts "1.0e6" as a float, but PyYAML 1.1 only
+    # recognizes exponents with a sign ("1.0e+6") and yields str
+    defaults = Config()
+    for k, v in list(kw.items()):
+        d = getattr(defaults, k)
+        if isinstance(d, bool):
+            kw[k] = v if isinstance(v, bool) else bool(int(v))
+        elif isinstance(d, int):
+            kw[k] = int(v)
+        elif isinstance(d, float):
+            kw[k] = float(v)
     return Config(**kw)

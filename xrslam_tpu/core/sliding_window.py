@@ -129,6 +129,7 @@ class SlidingWindowTracker:
         # iteration count to fit the budget)
         self._iter_seconds: dict = {}
         self._solve_calls: dict = {}
+        self._solve_samples: dict = {}  # per-variant startup timings
         # deferred localize result: (device WindowState, target FrameRec,
         # slot) — see localize_newframe(defer_write=True)
         self._loc_result = None
@@ -193,18 +194,26 @@ class SlidingWindowTracker:
         limit = self.config.solver_time_limit
         return bool(limit) and 0 < limit < 1.0e5
 
+    # timed startup calls per solve variant (call 0 compiles and is
+    # skipped; the next _CALIB_SAMPLES calls are synced + timed and the
+    # MEDIAN fixes the per-iteration estimate — a single sample on the
+    # tunneled TPU is hostage to its ±50% minute-to-minute RTT noise
+    # and can mis-clamp solver_time_limit by ~2x)
+    _CALIB_SAMPLES = 3
+
     def _note_solve(self, variant: str, result, iterations: int):
-        """One-time post-compile timing of a solve variant. Call 0
-        compiles (wall time is compile-polluted, skipped); call 1 is
-        synced and timed ONCE to fix the executable's per-iteration
-        cost; every later call runs fully async — the time limit then
-        clamps iteration counts (reference solver.cpp:186
-        max_solver_time_in_seconds) without adding a single blocking
-        sync to steady state or disabling the fused solve_chained
-        path."""
+        """Startup-only timing of a solve variant: call 0 compiles
+        (wall time is compile-polluted, skipped); calls 1..3 are synced
+        and timed, and their median fixes the executable's
+        per-iteration cost; every later call runs fully async — the
+        time limit then clamps iteration counts (reference
+        solver.cpp:186 max_solver_time_in_seconds) without adding a
+        single blocking sync to steady state or disabling the fused
+        solve_chained path."""
         n = self._solve_calls.get(variant, 0)
         self._solve_calls[variant] = n + 1
-        if n != 1 or variant in self._iter_seconds or iterations <= 0:
+        if (n < 1 or n > self._CALIB_SAMPLES
+                or variant in self._iter_seconds or iterations <= 0):
             return
         from ..utils.fetch import TRANSFER_LOCK
 
@@ -212,7 +221,11 @@ class SlidingWindowTracker:
         with TRANSFER_LOCK:
             jax.block_until_ready(result)
         dt = time.perf_counter() - t0
-        self._iter_seconds[variant] = dt / iterations
+        samples = self._solve_samples.setdefault(variant, [])
+        samples.append(dt / iterations)
+        if len(samples) >= self._CALIB_SAMPLES:
+            samples.sort()
+            self._iter_seconds[variant] = samples[len(samples) // 2]
 
     def _solve_timed(self, variant: str, state, data, opts: SolveOptions):
         """solve_window + the one-time per-variant timing of
@@ -1060,7 +1073,12 @@ class SlidingWindowTracker:
             valid=jnp.asarray(valid), threshold=1.0 / fu,
             norm_scale=self.config.parsac_norm_scale,
         )
-        mask = np.asarray(mask)
+        # locked pull: with worker_overlap this runs inside between()
+        # while the FetchWorker thread holds the one tunnel stream —
+        # a concurrent unlocked transfer wedges the tunneled TPU client
+        from ..utils.fetch import locked_asarray
+
+        mask = locked_asarray(mask)
 
         # epipolar ambiguity check between keyframe and current frame
         # using the IMU-predicted relative pose (reference :612-716)
@@ -1077,21 +1095,33 @@ class SlidingWindowTracker:
         Kc = curr.K
         F = np.linalg.inv(Kk.T) @ E @ np.linalg.inv(Kc)
 
-        in_d, out_d = [], []
+        # vectorized symmetric epipolar distances (one numpy pass over
+        # all matched keypoints; only the map lookups stay per-point)
+        sel_i, b1s, b2s = [], [], []
         for i, k in enumerate(kps[:n]):
             tr = self.map.tracks.get(int(curr.track_ids[k]))
             kj = tr.obs.get(kf.id) if tr else None
             if kj is None:
                 continue
-            b1 = kf.bearings[kj]
-            b2 = curr.bearings[k]
-            p1 = Kk @ (b1 / b1[2])
-            p2 = Kc @ (b2 / b2[2])
-            l1 = F @ p1
-            d1 = abs(p2 @ l1) / max(np.hypot(l1[0], l1[1]), 1e-12)
-            l2 = F.T @ p2
-            d2 = abs(p1 @ l2) / max(np.hypot(l2[0], l2[1]), 1e-12)
-            (in_d if mask[i] else out_d).append(d1 + d2)
+            sel_i.append(i)
+            b1s.append(kf.bearings[kj])
+            b2s.append(curr.bearings[k])
+        if len(sel_i) < 40:
+            return False
+        b1s = np.stack(b1s)
+        b2s = np.stack(b2s)
+        p1 = (b1s / b1s[:, 2:3]) @ Kk.T
+        p2 = (b2s / b2s[:, 2:3]) @ Kc.T
+        l1 = p1 @ F.T
+        l2 = p2 @ F
+        d1 = np.abs(np.sum(p2 * l1, axis=1)) / np.maximum(
+            np.hypot(l1[:, 0], l1[:, 1]), 1e-12)
+        d2 = np.abs(np.sum(p1 * l2, axis=1)) / np.maximum(
+            np.hypot(l2[:, 0], l2[:, 1]), 1e-12)
+        d = d1 + d2
+        m_sel = mask[np.asarray(sel_i, dtype=np.intp)]
+        in_d = d[m_sel]
+        out_d = d[~m_sel]
         if len(in_d) < 20 or len(out_d) < 20:
             return False
         th1 = float(np.median(in_d))

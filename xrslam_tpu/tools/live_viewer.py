@@ -29,6 +29,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -148,6 +149,7 @@ class LiveViewer:
         self._frame_png: Optional[bytes] = None
         self._frame_seq = 0
         self._max_traj = max_traj
+        self._last_encode_t = -1.0
 
         viewer = self
 
@@ -225,19 +227,33 @@ class LiveViewer:
                 self._stats.update(stats)
 
     def _on_frame(self, tap: dict) -> None:
-        from .viz import draw_overlay
-
-        img = draw_overlay(tap["image"], tap["pts"], tap.get("lengths"))
-        buf = io.BytesIO()
+        # Runs synchronously on the pipeline thread (inspection
+        # subscriber callback): a viewer failure must never crash the
+        # SLAM loop, and per-frame PNG encoding is too expensive for the
+        # 2-CPU host's critical path — rate-limit to ~10 Hz and drop the
+        # frame (with one log line) on any error.
         try:
-            from PIL import Image
+            now = time.monotonic()
+            if now - self._last_encode_t < 0.1:
+                return
+            self._last_encode_t = now
+            from .viz import draw_overlay
 
-            Image.fromarray(img).save(buf, format="PNG")
-        except ImportError:  # PIL-less host: serve nothing, keep state
-            return
-        with self._lock:
-            self._frame_png = buf.getvalue()
-            self._frame_seq += 1
+            img = draw_overlay(tap["image"], tap["pts"], tap.get("lengths"))
+            buf = io.BytesIO()
+            try:
+                from PIL import Image
+
+                Image.fromarray(img).save(buf, format="PNG")
+            except ImportError:  # PIL-less host: serve nothing, keep state
+                return
+            with self._lock:
+                self._frame_png = buf.getvalue()
+                self._frame_seq += 1
+        except Exception as e:  # noqa: BLE001 - never crash the pipeline
+            from ..utils.logging import log_message
+
+            log_message("warning", f"live viewer frame dropped: {e!r}")
 
     def _state_json(self) -> bytes:
         with self._lock:

@@ -61,8 +61,18 @@ class FeatureTrackerBase:
         fetch — the pipeline's overlapped backend stage (worker_overlap)
         runs there so its host work hides behind the tracker's device
         compute + tunnel round trip. May return a fetch handle to ride
-        the same fetch (used when `rider` is None)."""
+        the same fetch (used when `rider` is None). A pipelined tracker
+        may instead RETURN with its fetch still in flight; the frame is
+        then completed by finish_pending() at the next call."""
         raise NotImplementedError
+
+    def finish_pending(self) -> None:
+        """Complete any in-flight pipelined frame (no-op for
+        synchronous trackers)."""
+
+    # most recently COMPLETED frame (pipelined trackers lag the frame
+    # handed to track_frame by one); None before the first completion
+    last_finished = None
 
 
 class VIOPipeline:
@@ -282,7 +292,15 @@ class VIOPipeline:
                                      between=between)
 
         if self.swt is not None and self.config.visual_pnp_enable:
-            self._solve_pnp_highrate(frame)
+            # a pipelined tracker returns with `frame` still in flight;
+            # PnP then runs on the latest COMPLETED frame (one-frame
+            # lag, same as the reference's threaded tracker publishing
+            # latest_state behind the camera)
+            f_pnp = frame
+            if getattr(self.tracker, "_pending", None) is not None:
+                f_pnp = self.tracker.last_finished
+            if f_pnp is not None:
+                self._solve_pnp_highrate(f_pnp)
 
         # throttled visual-localization query while tracking (reference
         # feature_tracker.cpp:116-121: query with the frame image + the
@@ -317,9 +335,11 @@ class VIOPipeline:
         self._issue_frame(f)
 
     def flush(self) -> None:
-        """Complete deferred backend work at end of stream
-        (worker_overlap): issue the last tracked frame and land any
-        pending device write-back. No-op otherwise."""
+        """Complete deferred work at end of stream (worker_overlap):
+        finish the tracker's in-flight frame, issue the last tracked
+        frame, and land any pending device write-back. No-op
+        otherwise."""
+        self.tracker.finish_pending()
         self._run_deferred_issue()
         if self.swt is not None:
             self.swt.materialize_pending()

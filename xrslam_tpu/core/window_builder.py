@@ -422,7 +422,7 @@ def write_back_start(state: WindowState, extra=None,
 
     return fetch_packed_start(
         (state.q, state.p, state.v, state.bg, state.ba, state.inv_depth,
-         extra), async_copy=async_copy)
+         extra), async_copy=async_copy, label="pend")
 
 
 def write_back(pmap: PipelineMap, state: WindowState, data: WindowData,

@@ -182,6 +182,8 @@ class KLTFeatureTracker(FeatureTrackerBase):
         self._prev: Optional[FrameRec] = None
         self._Kinv_dev = None  # cached device K^-1 (intrinsics are fixed)
         self._fetch_worker_inst = None  # lazy (worker_overlap only)
+        self._pending: Optional[dict] = None  # in-flight pipelined frame
+        self.last_finished: Optional[FrameRec] = None
 
         cfg = config
         # module-level jit keyed by static CLAHE params: a per-instance
@@ -201,18 +203,30 @@ class KLTFeatureTracker(FeatureTrackerBase):
 
         Structured as dispatch-everything / fetch-once: every device
         kernel for the frame (pyramid, KLT, RANSAC gates, GFTT) is
-        dispatched asynchronously, then a SINGLE jax.device_get pulls
-        all host-needed results — one transfer round trip per frame
+        dispatched asynchronously, then a SINGLE device→host transfer
+        pulls all host-needed results — one round trip per frame
         instead of ~7 (the tunnel RTT dominates sequence fps). A
         `rider` fetch handle (the backend's deferred write-back buffer)
-        gets its transfer folded into the same round trip. The
-        `between` callback (the pipeline's overlapped backend stage,
-        worker_overlap) runs after all dispatches, just before the
-        blocking fetch, so its host work executes while the device
-        chews through the dispatched programs; a fetch handle it
-        returns rides the same fetch."""
+        gets its transfer folded into the same round trip.
+
+        With a `between` callback (worker_overlap) the tracker runs a
+        TWO-FRAME SOFTWARE PIPELINE: this frame's fetch is started on
+        the persistent fetch worker and track_frame RETURNS with it in
+        flight; the PREVIOUS frame was completed at the top of this
+        call, after this frame's image upload. The round trip therefore
+        rides behind the backend stage (`between`), the pipeline's IMU
+        host work, the next image's decode + upload, and the next
+        frame's dispatches — the host only blocks for whatever latency
+        those could not hide (the reference hides the same latency with
+        its FeatureTracker worker thread, utility/worker.h:8-58).
+        `between` (the backend stage for the previous frame) runs after
+        this frame's dispatches; a fetch handle it returns is pulled on
+        the same worker."""
         from ..utils.timing import stage_timer
 
+        from ..utils.fetch import trace_mark
+
+        trace_mark(f"frame:{frame.id}")
         image = getattr(frame, "_image", None)
         assert image is not None, "KLTFeatureTracker needs frame._image"
         if image.dtype != np.uint8:
@@ -224,7 +238,11 @@ class KLTFeatureTracker(FeatureTrackerBase):
 
         frame._pyr = pyr
         frame._pts = np.zeros((self.capacity, 2), dtype=np.float64)
-        H, W = image.shape
+
+        # land the previous frame now — its fetch has been in flight
+        # across the frame boundary; this frame's KLT dispatch needs its
+        # final keypoint layout
+        self.finish_pending()
 
         prev = self._prev
         fetch = {}
@@ -244,22 +262,33 @@ class KLTFeatureTracker(FeatureTrackerBase):
             fetch["cvalid"] = cvalid
 
         if between is not None:
-            # overlapped backend: dispatch the pack program NOW (so the
-            # concat queues right behind the tracker programs, ahead of
-            # any device work `between` dispatches) and hand its pull to
-            # the persistent fetch worker (device_get blocks in network
-            # I/O with the GIL released), then run the backend stage on
-            # this thread — the tunnel round trip + device compute hide
-            # behind backend host work. After `between`, the backend's
-            # freshly deferred write-back (returned handle) is enqueued
-            # on the same worker: its pull completes during the
-            # inter-frame host work (finish/decode/dispatch), so the
-            # NEXT backend stage's materialize_pending finds it ready
-            # instead of paying a round trip at its start.
+            # pipelined: run the backend stage FIRST (its host work
+            # overlaps the KLT/GFTT programs already executing on
+            # device; its previous write-back was completed by
+            # finish_pending above, so materialize costs nothing), then
+            # fold its freshly deferred write-back buffer into THIS
+            # frame's pack as a rider leaf — steady state pays exactly
+            # ONE device→host round trip per frame. The pull runs on
+            # the fetch worker and track_frame RETURNS with it in
+            # flight; finish_pending() at the next frame's call (or
+            # flush) completes it, which also lands the rider before
+            # the next backend stage asks for it.
             import threading
 
-            handle = fetch_packed_start(fetch, async_copy=False) \
-                if fetch else None
+            pend = between()
+            # `between` may return one handle or a list of handles
+            # (deferred write-back, deferred localize result, ...);
+            # every one rides this frame's single transfer
+            riders = []
+            if pend is not None:
+                for i, h in enumerate(pend if isinstance(pend, (list, tuple))
+                                      else [pend]):
+                    if h is not None and h.flat is not None \
+                            and h._event is None:
+                        fetch[f"_rider{i}"] = h.flat
+                        riders.append((f"_rider{i}", h))
+            handle = fetch_packed_start(fetch, async_copy=False,
+                                        label="pack") if fetch else None
             box = {}
             ev_b = threading.Event()
 
@@ -273,37 +302,20 @@ class KLTFeatureTracker(FeatureTrackerBase):
                     ev_b.set()
 
             self._fetch_worker.submit(_pull_pack)
-            try:
-                pend = between()
-            finally:
-                with stage_timer("tracker_fetch_time"):
-                    ev_b.wait()
-            if "err" in box:
-                raise box["err"]
-            vals = box.get("vals", {})
-            if pend is not None and pend.flat is not None \
-                    and pend._event is None:
-                ev_a = threading.Event()
-                pend._event = ev_a
+            self._pending = {
+                "frame": frame, "prev": prev, "ctx": track_ctx,
+                "detect": detect, "box": box, "event": ev_b,
+                "map": tracker_map, "image": image, "riders": riders,
+            }
+            self._prev = frame
+            return
 
-                def _pull_pend():
-                    from ..utils.fetch import locked_asarray
-
-                    try:
-                        pend.complete_with(locked_asarray(pend.flat))
-                    finally:
-                        # on failure, get() falls back to its own
-                        # transfer of pend.flat — correct, just slower
-                        ev_a.set()
-
-                self._fetch_worker.submit(_pull_pend)
-        else:
-            if rider is not None and rider.flat is not None:
-                fetch["_rider"] = rider.flat
-            with stage_timer("tracker_fetch_time"):
-                vals = fetch_packed(fetch) if fetch else {}  # ONE transfer
-            if "_rider" in vals:
-                rider.complete_with(vals.pop("_rider"))
+        if rider is not None and rider.flat is not None:
+            fetch["_rider"] = rider.flat
+        with stage_timer("tracker_fetch_time"):
+            vals = fetch_packed(fetch) if fetch else {}  # ONE transfer
+        if "_rider" in vals:
+            rider.complete_with(vals.pop("_rider"))
 
         if track_ctx is not None:
             self._finish_track(tracker_map, prev, frame, track_ctx, vals)
@@ -312,7 +324,45 @@ class KLTFeatureTracker(FeatureTrackerBase):
 
         if prev is not None and hasattr(prev, "_pyr"):
             del prev._pyr  # release_image_buffer
+        self._finalize_frame(tracker_map, frame, image)
+        self._prev = frame
 
+    def finish_pending(self) -> None:
+        """Complete the in-flight frame of the two-frame pipeline: wait
+        for its packed fetch (already pulled — or being pulled — by the
+        fetch worker), then run the host half of tracking + detection.
+        No-op when nothing is pending."""
+        from ..utils.timing import stage_timer
+
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        with stage_timer("tracker_fetch_time"):
+            p["event"].wait()
+        if "err" in p["box"]:
+            raise p["box"]["err"]
+        vals = p["box"].get("vals", {})
+        # land the backend's deferred buffers that rode this frame's
+        # pack (write-back, localize result, ...): the next backend
+        # stage finds them ready, no extra round trip
+        for key, h in p.get("riders", ()):
+            if key in vals:
+                h.complete_with(vals.pop(key))
+        frame, prev = p["frame"], p["prev"]
+        tracker_map = p["map"]
+        if p["ctx"] is not None:
+            self._finish_track(tracker_map, prev, frame, p["ctx"], vals)
+        if p["detect"]:
+            self._finish_detect(tracker_map, frame, vals)
+        if prev is not None and hasattr(prev, "_pyr"):
+            del prev._pyr  # release_image_buffer
+        self._finalize_frame(tracker_map, frame, p["image"])
+
+    def _finalize_frame(self, tracker_map: PipelineMap, frame: FrameRec,
+                        image: np.ndarray) -> None:
+        """Post-tracking host work that needs the frame's final
+        keypoints: depth sampling, painter tap, image release."""
         # sample the aligned depth image (if any) at the final keypoint
         # positions -> metric z-depth per keypoint (0 = no measurement)
         dimg = getattr(frame, "_depth_img", None)
@@ -339,7 +389,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
             })
 
         frame._image = None
-        self._prev = frame
+        self.last_finished = frame
 
     @property
     def _fetch_worker(self):

@@ -30,12 +30,54 @@ import numpy as np
 # with pulls without incident and stay unlocked.
 TRANSFER_LOCK = threading.RLock()
 
+# Optional transfer-event trace (XR_TRACE_FETCH=1): (label, t_start,
+# t_end) wall-clock tuples for every blocking pull, to diagnose how
+# transfers serialize on the tunneled TPU. Read/reset via trace_events.
+TRACE = []
+_TRACE_ON = None
 
-def locked_asarray(x) -> np.ndarray:
+
+def _trace_on() -> bool:
+    global _TRACE_ON
+    if _TRACE_ON is None:
+        import os
+
+        _TRACE_ON = os.environ.get("XR_TRACE_FETCH", "0") != "0"
+    return _TRACE_ON
+
+
+def trace_mark(label: str) -> None:
+    if _trace_on():
+        import time as _t
+
+        now = _t.perf_counter()
+        TRACE.append((label, now, now))
+
+
+def trace_events(reset: bool = False):
+    ev = list(TRACE)
+    if reset:
+        TRACE.clear()
+    return ev
+
+
+def _traced(label: str, fn):
+    if not _trace_on():
+        return fn()
+    import time as _t
+
+    t0 = _t.perf_counter()
+    try:
+        return fn()
+    finally:
+        TRACE.append((label, t0, _t.perf_counter()))
+
+
+def locked_asarray(x, label: str = "asarray") -> np.ndarray:
     """np.asarray(device_array) under TRANSFER_LOCK — the safe way to
     pull from a helper thread."""
     with TRANSFER_LOCK:
-        return np.asarray(x)
+        return _traced(label, lambda: np.asarray(x))
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -99,7 +141,7 @@ def put_packed(arrays):
                 f"(2^{mant}) — transfer it separately")
     flat = np.concatenate([np.ravel(a).astype(widest) for a in arrays]) \
         if arrays else np.zeros((0,), widest)
-    dev = jnp.asarray(flat)  # the one transfer
+    dev = _traced(f"put:{flat.size}", lambda: jnp.asarray(flat))
     sig = tuple((a.shape, ("bool" if a.dtype == np.bool_
                            else str(a.dtype))) for a in arrays)
     return _unpack(dev, sig)
@@ -108,7 +150,9 @@ def put_packed(arrays):
 class _FetchHandle:
     """An in-flight packed device→host fetch (fetch_packed_start)."""
 
-    def __init__(self, leaves, treedef, dev_idx, widest, flat):
+    def __init__(self, leaves, treedef, dev_idx, widest, flat,
+                 label="fetch"):
+        self._label = label
         self._leaves = leaves
         self._treedef = treedef
         self._dev_idx = dev_idx
@@ -139,12 +183,12 @@ class _FetchHandle:
         leaves, dev_idx, widest = self._leaves, self._dev_idx, self._widest
         if self._flat is None:
             with TRANSFER_LOCK:
-                return jax.tree.unflatten(
-                    self._treedef, [np.asarray(x) for x in leaves])
+                return _traced(self._label, lambda: jax.tree.unflatten(
+                    self._treedef, [np.asarray(x) for x in leaves]))
         # completes the copy (already on host if ridden along another
         # fetch via complete_with)
         buf = self._buf if self._buf is not None \
-            else locked_asarray(self._flat)
+            else locked_asarray(self._flat, self._label)
         if buf[0] != 0:
             raise ValueError(
                 "fetch_packed: an int leaf holds values beyond the "
@@ -168,7 +212,8 @@ class _FetchHandle:
                                   [np.asarray(x) for x in out])
 
 
-def fetch_packed_start(tree, async_copy: bool = True) -> _FetchHandle:
+def fetch_packed_start(tree, async_copy: bool = True,
+                       label: str = "fetch") -> _FetchHandle:
     """Begin a packed device→host fetch WITHOUT blocking: the single
     flat buffer's copy is kicked off (copy_to_host_async) so it
     overlaps host work; handle.get() completes it. A blocking sync on
@@ -185,7 +230,8 @@ def fetch_packed_start(tree, async_copy: bool = True) -> _FetchHandle:
     dev_idx = [i for i, x in enumerate(leaves)
                if isinstance(x, jax.Array) and x.size > 0]
     if not leaves or not dev_idx:
-        return _FetchHandle(leaves, treedef, [], jnp.float32, None)
+        return _FetchHandle(leaves, treedef, [], jnp.float32, None,
+                            label=label)
     dev = [leaves[i] for i in dev_idx]
     widest = jnp.float32
     for x in dev:
@@ -198,7 +244,8 @@ def fetch_packed_start(tree, async_copy: bool = True) -> _FetchHandle:
             flat.copy_to_host_async()
         except Exception:  # pragma: no cover - backends w/o async copy
             pass
-    return _FetchHandle(leaves, treedef, dev_idx, widest, flat)
+    return _FetchHandle(leaves, treedef, dev_idx, widest, flat,
+                        label=label)
 
 
 def fetch_packed(tree):

@@ -280,13 +280,11 @@ class VIOPipeline:
             def between():
                 with stage_timer("backend_overlap_time"):
                     self._run_deferred_issue()
-                if (rider_ok and self.swt is not None
-                        and self.swt._pending_write is not None):
-                    return self.swt._pending_write["pf"]
+                if rider_ok and self.swt is not None:
+                    return self.swt.collect_riders()
                 return None
-        elif (self.swt is not None and self.swt._pending_write is not None
-                and rider_ok):
-            rider = self.swt._pending_write["pf"]
+        elif self.swt is not None and rider_ok:
+            rider = self.swt.collect_riders()
         with stage_timer("feature_tracker_time"):
             self.tracker.track_frame(self.tracker_map, frame, rider=rider,
                                      between=between)

@@ -18,6 +18,7 @@ exactly once.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import List, Optional
 
@@ -144,6 +145,7 @@ class SlidingWindowTracker:
         # detail.cpp:144-177 predict_pose).
         self._pending_write = None   # (state, data, meta)
         self._latest_solved = None   # (t,q,p,v,bg,ba) fallback snapshot
+        self._pending_loc = None     # staged localize result (lift cases)
         # event counters for inspection + the RD-VIO e2e proofs
         self.stats = {
             "subframe_lifts": 0,       # rotation/translation lift cases
@@ -256,8 +258,12 @@ class SlidingWindowTracker:
         return f.t, f.q, f.p, f.v, f.bg, f.ba
 
     def materialize_pending(self) -> None:
-        """Fetch + apply the deferred subframe write-back (one packed
-        transfer; by now the solve has long finished on device)."""
+        """Fetch + apply the deferred write-back(s) (by now the solve
+        has long finished on device and the buffers usually rode the
+        tracker transfer). The staged localize result lands FIRST so a
+        window write-back of the same frame wins, matching the split
+        path's write order."""
+        self._materialize_loc()
         if self._pending_write is None:
             return
         pend = self._pending_write
@@ -389,13 +395,20 @@ class SlidingWindowTracker:
         # tunneled TPU
         verdict = self._keyframe_decision()
         if verdict != "subframe":
-            with stage_timer("localize_newframe_time"):
-                self.localize_newframe(defer_write=True)
-            self.manage_keyframe(verdict)
-            self._materialize_localize()  # track_landmark needs the pose
-            self.track_landmark()
-            with stage_timer("bundle_adjustor_solve_time"):
-                self.refine_window()
+            if any(f.kp_depth is not None for f in self.map.all_frames()):
+                # depth-camera mode: host triangulation (depth-seeded,
+                # window_builder.triangulate_track) needs the localized
+                # pose on host — legacy split path
+                with stage_timer("localize_newframe_time"):
+                    self.localize_newframe(defer_write=True)
+                self.manage_keyframe(verdict)
+                self._materialize_localize()
+                self.track_landmark()
+                with stage_timer("bundle_adjustor_solve_time"):
+                    self.refine_window()
+            else:
+                with stage_timer("bundle_adjustor_solve_time"):
+                    self._fused_keyframe_step(verdict)
             with stage_timer("bundle_adjustor_marginalization_time"):
                 self.slide_window()
         else:
@@ -405,6 +418,167 @@ class SlidingWindowTracker:
                 self._fused_subframe_step(target)
         self._loc_result = None
         return True
+
+    def _fused_keyframe_step(self, verdict: str) -> None:
+        """The keyframe backend as ONE device chain — localize → inject
+        → in-program triangulation of the new keyframe's candidate
+        tracks → full-window VI-BA → landmark gates
+        (solve_keyframe_chain; reference :119-358) — with the write-back
+        deferred to ride the next tracker transfer. The reference's
+        split (localize / track_landmark / refine) forces a blocking
+        pose fetch between the stages; chaining on device removes the
+        last steady-state sync of the pipeline."""
+        from ..estimation.solver import solve_keyframe_chain
+        from ..utils.fetch import fetch_packed_start
+
+        with stage_timer("localize_newframe_time"):
+            l_state, l_data, l_meta, target, l_slot = self._prepare_localize()
+        l_opts = SolveOptions(iterations=self._budgeted_iterations("localize"))
+
+        # prediction anchor while the write-back is in flight: the
+        # temporally-latest frame whose host record holds SOLVED values
+        # (everything except the not-yet-written target)
+        frames0 = list(self.map.frames)
+        anchor = frames0[-1]
+        if len(frames0) >= 2:
+            anchor = (frames0[-2].subframes[-1] if frames0[-2].subframes
+                      else frames0[-2])
+        anchor_state = (anchor.t, anchor.q.copy(), anchor.p.copy(),
+                        anchor.v.copy(), anchor.bg.copy(), anchor.ba.copy())
+
+        self.manage_keyframe(verdict)
+
+        frames = list(self.map.frames)
+        new_kf = frames[-1]
+        # candidate tracks for in-program triangulation: the newest
+        # keyframe's untriangulated tracks (reference :225-245)
+        cand_ids = set()
+        for k in np.nonzero(new_kf.track_ids >= 0)[0]:
+            tr = self.map.tracks.get(int(new_kf.track_ids[k]))
+            if tr is not None and not tr.triangulated:
+                cand_ids.add(tr.id)
+        base_filter = self._refine_track_filter(frames)
+        state, data, meta = extract_window(
+            self.map, frames, self.K_slots, self.L_slots, self.noise,
+            track_filter=lambda t: base_filter(t) or t.id in cand_ids,
+            all_frames_between=self._kf_between(frames),
+            imu_cap=128,
+        )
+        if self.marg is None:
+            self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
+        data = data._replace(marg=self.marg, use_marg=jnp.asarray(True))
+
+        cand_mask = np.zeros((self.L_slots,), dtype=bool)
+        for l, tid in enumerate(meta.track_ids):
+            cand_mask[l] = tid in cand_ids
+
+        try:
+            s2 = frames.index(target)
+            inject = True
+        except ValueError:
+            # lifted-subframe cases: the localize target is a subframe,
+            # not a window slot — its host record gets the localized
+            # state via the staged loc fetch below
+            s2 = 0
+            inject = False
+        fuv = np.stack([[f.K[0, 0], f.K[1, 1]] for f in frames]
+                       + [[1.0, 1.0]] * (self.K_slots - len(frames)))
+        r_opts = SolveOptions(iterations=self._budgeted_iterations("refine"))
+        st1, st2, gates, tri_ok = solve_keyframe_chain(
+            l_state, l_data, l_opts, state, data, r_opts,
+            jnp.asarray(l_slot, jnp.int32), jnp.asarray(s2, jnp.int32),
+            jnp.asarray(inject), jnp.asarray(cand_mask),
+            jnp.asarray(fuv, dtype=state.p.dtype))
+        if self._limit_active():
+            self._note_solve("kf_chain", st2,
+                             l_opts.iterations + r_opts.iterations)
+
+        data_eff = data._replace(
+            landmark_mask=(data.landmark_mask | tri_ok) & gates[0])
+        self._last_window = (st2, data_eff, meta)
+
+        # host-side effective landmark set: existing seeded landmarks +
+        # every triangulation candidate (rejects cleaned up in the
+        # flags callback once the verdicts arrive)
+        lm_eff = meta.landmark_mask | cand_mask
+        meta_eff = dataclasses.replace(meta, landmark_mask=lm_eff)
+
+        def apply_flags(extra_out):
+            (g_ok, _rpe), t_ok = extra_out
+            g_ok = np.asarray(g_ok)
+            t_ok = np.asarray(t_ok)
+            # candidate verdicts (reference :225-245 flag setting);
+            # a candidate is kept only if triangulation AND the
+            # post-solve gates accept it
+            for l, tid in enumerate(meta.track_ids):
+                if not cand_mask[l]:
+                    continue
+                tr = self.map.tracks.get(tid)
+                if tr is None:
+                    continue
+                if t_ok[l]:
+                    tr.triangulated = True
+                    tr.valid = True
+                    tr.static = True
+                    tr.life = max(tr.life, 1)
+                else:
+                    tr.triangulated = False
+                    tr.valid = False
+                    tr.p_w = None
+            ok_eff = g_ok & (t_ok | ~cand_mask)
+            self._apply_landmark_gates(meta_eff, ok_eff)
+            covered = {tid for l, tid in enumerate(meta.track_ids)
+                       if lm_eff[l]}
+            self._revalidate_landmarks(frames, skip_ids=covered)
+
+        pf_loc = None
+        if not inject:
+            pf_loc = fetch_packed_start(
+                (st1.q[l_slot], st1.p[l_slot], st1.v[l_slot],
+                 st1.bg[l_slot], st1.ba[l_slot]),
+                async_copy=False, label="loc")
+
+        if self._defer_writes():
+            self._latest_solved = anchor_state
+            pf = write_back_start(st2, extra=(gates, tri_ok))
+            self._pending_write = dict(st=st2, data=data_eff, meta=meta_eff,
+                                       pf=pf, extra=(gates, tri_ok),
+                                       cb=apply_flags, write_landmarks=True)
+            if pf_loc is not None:
+                self._pending_loc = dict(pf=pf_loc, target=target)
+        else:
+            if pf_loc is not None:
+                self._apply_loc(pf_loc, target)
+            out = write_back(self.map, st2, data_eff, meta_eff,
+                             extra=(gates, tri_ok), write_landmarks=True)
+            apply_flags(out)
+
+    def _apply_loc(self, pf, target: FrameRec) -> None:
+        q, p, v, bg, ba = pf.get()
+        target.q = nputil.quat_normalize(q)
+        target.p = p
+        target.v = v
+        target.bg = bg
+        target.ba = ba
+
+    def _materialize_loc(self) -> None:
+        """Land a staged localize result (lifted-subframe keyframe
+        cases; the buffer rode the tracker transfer)."""
+        pl = self._pending_loc
+        if pl is None:
+            return
+        self._pending_loc = None
+        self._apply_loc(pl["pf"], pl["target"])
+
+    def collect_riders(self):
+        """Deferred device→host buffers that should ride the next
+        tracker transfer (write-back, staged localize result)."""
+        out = []
+        if self._pending_loc is not None:
+            out.append(self._pending_loc["pf"])
+        if self._pending_write is not None:
+            out.append(self._pending_write["pf"])
+        return out
 
     def prepare_fused_subframe(self, target: FrameRec):
         """Host half of the fused subframe step: subwindow extraction +

@@ -376,8 +376,63 @@ def _solve_chained_core(state1, data1, opts1, state2, data2, opts2, s1, s2):
     return st1, st2, info2
 
 
+@partial(jax.jit, static_argnames=("opts1", "opts2"))
+def solve_keyframe_chain(state1: WindowState, data1: WindowData,
+                         opts1: SolveOptions,
+                         state2: WindowState, data2: WindowData,
+                         opts2: SolveOptions,
+                         s1, s2, inject, cand, fuv):
+    """The ENTIRE keyframe backend step as one device program
+    (reference SlidingWindowTracker::track keyframe branch,
+    sliding_window_tracker.cpp:82-117):
+
+      1. localize the new frame (window 1; reference :119-143),
+      2. inject its solved frame-`s1` state into the full window's
+         slot `s2` (skipped when `inject` is false — the lifted-
+         subframe cases where the target is not a window slot),
+      3. triangulate the new keyframe's candidate landmarks in-program
+         (`cand` mask; replaces the host track_landmark, :225-245),
+      4. full-window VI-BA over window 2 with the newly triangulated
+         landmarks participating (:247-358),
+      5. landmark depth/RPE re-validation gates (:325-352).
+
+    Returns (st1, st2, (gate_ok, mean_rpe), tri_ok, tri_invd). The
+    host applies flags one frame later from the deferred write-back —
+    no blocking fetch anywhere in the keyframe step."""
+    from .triangulate import triangulate_landmarks
+
+    st1, _ = solve_window_core(state1, data1, opts1)
+
+    def put(dst, src):
+        row = jax.lax.dynamic_index_in_dim(src, s1, axis=0, keepdims=True)
+        zero = jnp.zeros((), dtype=jnp.asarray(s2).dtype)
+        upd = jax.lax.dynamic_update_slice(
+            dst, row.astype(dst.dtype), (s2,) + (zero,) * (dst.ndim - 1))
+        return jnp.where(inject, upd, dst)
+
+    state2 = state2._replace(
+        q=put(state2.q, st1.q), p=put(state2.p, st1.p),
+        v=put(state2.v, st1.v), bg=put(state2.bg, st1.bg),
+        ba=put(state2.ba, st1.ba))
+
+    tri_invd, tri_ok = triangulate_landmarks(state2, data2, cand)
+    state2 = state2._replace(
+        inv_depth=jnp.where(tri_ok, tri_invd, state2.inv_depth))
+    data2 = data2._replace(landmark_mask=data2.landmark_mask | tri_ok)
+
+    st2, _ = solve_window_core(state2, data2, opts2)
+    gates = landmark_gates_core(st2, data2, fuv)
+    return st1, st2, gates, tri_ok
+
+
 @jax.jit
 def landmark_gates(state: WindowState, data: WindowData, fuv: jnp.ndarray):
+    """Jitted standalone entry of landmark_gates_core."""
+    return landmark_gates_core(state, data, fuv)
+
+
+def landmark_gates_core(state: WindowState, data: WindowData,
+                        fuv: jnp.ndarray):
     """Post-solve landmark re-validation, on device (reference
     sliding_window_tracker.cpp:325-352 runs the same depth/RPE gates as
     a host loop over every track; at 256 landmark slots the host loop

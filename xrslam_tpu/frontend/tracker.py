@@ -310,12 +310,19 @@ class KLTFeatureTracker(FeatureTrackerBase):
             self._prev = frame
             return
 
-        if rider is not None and rider.flat is not None:
-            fetch["_rider"] = rider.flat
+        riders = []
+        if rider is not None:
+            for i, h in enumerate(rider if isinstance(rider, (list, tuple))
+                                  else [rider]):
+                if h is not None and h.flat is not None \
+                        and h._event is None:
+                    fetch[f"_rider{i}"] = h.flat
+                    riders.append((f"_rider{i}", h))
         with stage_timer("tracker_fetch_time"):
             vals = fetch_packed(fetch) if fetch else {}  # ONE transfer
-        if "_rider" in vals:
-            rider.complete_with(vals.pop("_rider"))
+        for key, h in riders:
+            if key in vals:
+                h.complete_with(vals.pop(key))
 
         if track_ctx is not None:
             self._finish_track(tracker_map, prev, frame, track_ctx, vals)

@@ -465,22 +465,26 @@ class VIOPipeline:
         s = self._prop
         c = getattr(self, "_prop_cache", None)
         if c is not None and c[0] <= t:
-            t_cur, q, p, v = c[0], c[1].copy(), c[2].copy(), c[3].copy()
+            t_cur, q, p, v = c
         else:
-            q, p, v = s["q"].copy(), s["p"].copy(), s["v"].copy()
+            q, p, v = s["q"], s["p"], s["v"]
             t_cur = s["t"]
         bg, ba = s["bg"], s["ba"]
         for (ti, w, a) in self._imu_since_opt:
             if ti <= t_cur or ti > t:
                 continue
             dt = ti - t_cur
-            # body-frame Euler step (reference propagate_state :15-28)
+            # body-frame Euler step (reference propagate_state :15-28);
+            # every update REBINDS (numpy ops allocate), so the cached
+            # arrays are never mutated and need no defensive copies —
+            # this runs per IMU sample and the copies dominated it
             v = v + dt * (nputil.quat_rotate(q, a - ba) + GRAVITY)
             p = p + dt * v
             q = nputil.quat_normalize(
                 nputil.quat_mul(q, nputil.expmap((w - bg) * dt)))
             t_cur = ti
-        self._prop_cache = (t_cur, q.copy(), p.copy(), v.copy())
+        self._prop_cache = (t_cur, q, p, v)
+        # callers must treat the returned arrays as read-only
         return t_cur, q, p, v
 
     # ------------------------------------------------------------------

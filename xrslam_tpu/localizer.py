@@ -220,6 +220,8 @@ class HttpLocalizer(LocalizerBase):
         import json
         from http.client import HTTPConnection
 
+        from .utils.logging import log_warning
+
         try:
             from PIL import Image as PILImage
 
@@ -227,27 +229,42 @@ class HttpLocalizer(LocalizerBase):
                 if image.dtype != np.uint8 else image
             buf = io.BytesIO()
             PILImage.fromarray(arr).save(buf, format="JPEG")
+            # XRLocalization request shape (reference localizer.cpp:67-79):
+            # base64 JPEG + an OPENCV intrinsic block whose params are
+            # [fx, fy, cx, cy] followed by the distortion coefficients
             K = np.asarray(self.config.camera_intrinsic)
+            params = [float(K[0, 0]), float(K[1, 1]),
+                      float(K[0, 2]), float(K[1, 2])]
+            params += [float(d) for d in
+                       np.ravel(self.config.camera_distortion)]
             msg = {
                 "image": base64.b64encode(buf.getvalue()).decode(),
-                "width": arr.shape[1], "height": arr.shape[0],
-                "fx": K[0, 0], "fy": K[1, 1], "cx": K[0, 2], "cy": K[1, 2],
+                "intrinsic": {
+                    "model": "OPENCV",
+                    "width": int(arr.shape[1]), "height": int(arr.shape[0]),
+                    "params": params,
+                },
             }
             conn = HTTPConnection(self.ip, self.port, timeout=30)
             conn.request("POST", "/loc", json.dumps(msg),
                          {"Content-Type": "application/json"})
             res = conn.getresponse()
             if res.status != 200:
+                log_warning("localizer /loc query failed: HTTP %d",
+                            res.status)
                 return
             out = json.loads(res.read())
             if out.get("ninlier", 0) <= self.min_inliers:
+                log_warning("localizer /loc rejected: ninlier %d <= %d",
+                            int(out.get("ninlier", 0)), self.min_inliers)
                 return
             qvec = np.asarray(out["qvec"], float)   # [w,x,y,z] (COLMAP)
             tvec = np.asarray(out["tvec"], float)
             self._update_transform(q_slam_body, p_slam_body, qvec, tvec,
                                    screen_state)
-        except Exception:
-            pass  # fire-and-forget, like the reference's detached thread
+        except Exception as e:  # fire-and-forget like the reference's
+            # detached thread (localizer.cpp:163-166) — but never silent
+            log_warning("localizer /loc query failed: %s", e)
 
     def add_pose_message(self, t: float, q: np.ndarray, p: np.ndarray):
         """Buffer a pose for upload (reference add_pose_message)."""
@@ -259,11 +276,13 @@ class HttpLocalizer(LocalizerBase):
         import json
         from http.client import HTTPConnection
 
+        from .utils.logging import log_warning
+
         try:
             conn = HTTPConnection(self.ip, self.port, timeout=30)
             conn.request("POST", "/pose", json.dumps({"pose": self._pose_buf}),
                          {"Content-Type": "application/json"})
             if conn.getresponse().status == 200:
                 self._pose_buf.clear()
-        except Exception:
-            pass
+        except Exception as e:
+            log_warning("localizer /pose upload failed: %s", e)

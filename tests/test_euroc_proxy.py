@@ -41,12 +41,31 @@ def test_euroc_geometry_proxy_pipeline():
     root = os.path.join(d, "mav0")
     ts, qs, ps = run_sequence("euroc://" + root, cfg, async_reader=False)
 
-    # tracking-rate gate: init completes (~frame 29-31 on the rendered
-    # wave scenes — the initializer gathers its 8-keyframe baseline
-    # first) and tracking holds to the end with no resets
-    assert len(ts) >= n_frames - 35, len(ts)
+    # tracking-rate gates, locked to observed behavior (measured on
+    # this scene: init completes at frame 29 — the initializer first
+    # gathers its 8-keyframe × gap-3 baseline — then every remaining
+    # frame tracks with zero resets):
+    #   1. initialization is not late (first tracked frame <= 32),
+    #   2. no tracker reset afterwards (outputs are exactly the
+    #      contiguous tail of the camera timestamps).
+    import csv
+
+    stamps = []
+    with open(os.path.join(root, "cam0", "data.csv")) as f:
+        for row in csv.reader(f):
+            if row and row[0][:1].isdigit():
+                stamps.append(float(row[0]) * 1e-9)
+    stamps = np.asarray(stamps)
+    ts = np.asarray(ts)
+    assert len(ts) > 0, "no frames tracked"
+    idx0 = int(np.argmin(np.abs(stamps - ts[0])))
+    assert idx0 <= 32, f"initialization late: first tracked frame {idx0}"
+    tail = stamps[idx0:]
+    assert len(ts) == len(tail) and np.allclose(ts, tail, atol=1e-6), \
+        f"tracker reset mid-sequence: {len(ts)} tracked vs {len(tail)} " \
+        "frames after init"
     ate = evaluate_ate(root, ts, ps)
-    # accuracy gate: the reference's own EuRoC average is 0.125 m over
-    # far longer/harder real sequences; this clean proxy must stay well
-    # inside it (measured ~0.06-0.10 across seeds on this stack)
-    assert np.isfinite(ate) and ate < 0.125, ate
+    # accuracy gate at measured + margin (measured 0.011 m on this
+    # clean rendered scene; the reference's own EuRoC average over real
+    # sequences is 0.125 m — docs/en/benchmark.md:12)
+    assert np.isfinite(ate) and ate < 0.06, ate

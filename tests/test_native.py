@@ -121,3 +121,68 @@ def test_poisson_filter_matches_python():
     d = np.linalg.norm(acc[:, None] - acc[None, :], axis=-1)
     np.fill_diagonal(d, np.inf)
     assert d.min() >= 11.0
+
+
+def test_capi_c_roundtrip(tmp_path):
+    """The real C ABI: compile tests/data/capi_roundtrip.c against
+    native/XRSLAM.h + libxr_capi.so (a true embedded-CPython consumer,
+    no Python in the test program), run it on a tiny config, and check
+    every result type round-trips (reference surface:
+    xrslam-interface/include/XRSLAM.h:195-230)."""
+    import os
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    natdir = os.path.join(repo, "native")
+    cc = shutil.which("gcc") or shutil.which("cc")
+    if cc is None:
+        pytest.skip("no C compiler")
+    r = subprocess.run(["make", "-C", natdir, "libxr_capi.so"],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"libxr_capi.so build failed: {r.stderr[-400:]}")
+
+    slam = tmp_path / "slam.yaml"
+    slam.write_text(
+        "%YAML:1.0\n"
+        "sliding_window:\n  size: 8\n  subframe_size: 3\n"
+        "feature_tracker:\n  min_keypoint_distance: 8.0\n"
+        "  max_keypoint_detection: 40\n"
+        "solver:\n  iteration_limit: 5\n")
+    dev = tmp_path / "device.yaml"
+    dev.write_text(
+        "%YAML:1.0\n"
+        "cam0:\n"
+        "  resolution: [64, 48]\n"
+        "  intrinsics: [60.0, 60.0, 32.0, 24.0]\n")
+
+    exe = str(tmp_path / "capi_roundtrip")
+    r = subprocess.run(
+        [cc, os.path.join(repo, "tests", "data", "capi_roundtrip.c"),
+         "-I", natdir, "-L", natdir, "-lxr_capi",
+         f"-Wl,-rpath,{natdir}", "-o", exe],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    env = dict(os.environ)
+    env.update(PYTHONPATH=repo, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1",
+               LD_LIBRARY_PATH=natdir)
+    r = subprocess.run([exe, str(slam), str(dev)], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-800:])
+    out = dict()
+    for line in r.stdout.splitlines():
+        parts = line.split()
+        if parts and parts[0].startswith("CAPI_"):
+            out[parts[0]] = parts[1:]
+    assert "CAPI_OK" in out
+    assert out["CAPI_VERSION"], out
+    assert out["CAPI_STATE0"] == ["0"]  # INITIALIZING before any data
+    assert out["CAPI_STATE1"] == ["0"]  # still initializing after 1 frame
+    assert float(out["CAPI_FX"][0]) == 60.0
+    assert float(out["CAPI_FX"][2]) == 24.0  # cy
+    # one frame in: detection populated the feature slots, no landmarks
+    assert int(out["CAPI_NFEATURES"][0]) > 0
+    assert int(out["CAPI_NLANDMARKS"][0]) == 0
+    assert float(out["CAPI_BIAS"][0]) == 0.0

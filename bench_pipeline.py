@@ -48,7 +48,11 @@ def main(argv=None):
     import dataclasses
 
     config = dataclasses.replace(
-        config, worker_overlap=os.environ.get("XR_OVERLAP", "1") != "0")
+        config, worker_overlap=os.environ.get("XR_OVERLAP", "1") != "0",
+        # depth-2 write-back pipeline: the per-frame pack pull never
+        # waits on the current frame's solve programs (see
+        # Config.pipelined_writeback)
+        pipelined_writeback=os.environ.get("XR_PIPE_WB", "1") != "0")
 
     uri = "euroc://" + root
     result = None

@@ -155,3 +155,35 @@ def test_image_pipeline_overlap_parity(tmp_path):
     d = np.array([np.linalg.norm(ps_s[idx_s[t]] - ps_o[idx_o[t]])
                   for t in common])
     assert np.max(d) < 2e-2, float(np.max(d))
+
+
+@pytest.mark.slow
+def test_synthetic_pipelined_writeback_parity():
+    """Depth-2 write-back pipeline (Config.pipelined_writeback): solve
+    write-backs stay in flight for up to two frames and every
+    extraction corrects its stale host reads by injecting the pending
+    solves' device states (_inject_solved). The solve sequence must be
+    VALUE-IDENTICAL to the synchronous pipeline — injection hands each
+    extraction exactly the values write_back would have materialized."""
+    cfg = _make_config()
+    scene = euler_consistent(wave_scene(n_frames=50, n_landmarks=96, seed=3))
+    q_bc = jnp.asarray(cfg.camera_to_body_rotation)
+    p_bc = jnp.asarray(cfg.camera_to_body_translation)
+    bearings, mask = bearings_of(scene, q_bc, p_bc)
+
+    n_sync, st_sync = _drive(
+        dataclasses.replace(cfg, worker_overlap=False),
+        scene, bearings, mask)
+    n_pipe, st_pipe = _drive(
+        dataclasses.replace(cfg, worker_overlap=True,
+                            pipelined_writeback=True),
+        scene, bearings, mask)
+
+    assert len(st_sync) > 0 and len(st_pipe) > 0
+    assert abs(n_sync - n_pipe) <= 1, (n_sync, n_pipe)
+    assert len(st_sync) == len(st_pipe)
+    for (t0, q0, p0, v0), (t1, q1, p1, v1) in zip(st_sync, st_pipe):
+        assert t0 == t1
+        np.testing.assert_allclose(q0, q1, atol=1e-9)
+        np.testing.assert_allclose(p0, p1, atol=1e-9)
+        np.testing.assert_allclose(v0, v1, atol=1e-9)

@@ -118,6 +118,18 @@ class Config:
     # optimized anchor. Call VIOPipeline.flush() (api.XRSLAM.flush) at
     # end of stream to land the final deferred frame.
     worker_overlap: bool = False
+    # depth-2 write-back pipeline on top of worker_overlap: the tracker
+    # pack (the one per-frame device→host transfer) is SUBMITTED BEFORE
+    # the backend stage runs, so it never waits on the current frame's
+    # solve programs — solve write-backs ride the NEXT frame's pack
+    # instead (up to two solves in flight). Every window extraction
+    # corrects its stale host reads by injecting the pending solves'
+    # device states (SlidingWindowTracker._inject_solved), so the solve
+    # sequence is value-identical to the depth-1 schedule; only output
+    # anchoring and landmark-gate bookkeeping lag one extra frame (the
+    # reference's threaded-backend semantics under load). Requires
+    # worker_overlap + deferred_subframe_write, parsac-off.
+    pipelined_writeback: bool = False
     # fixed landmark-slot capacities of the jitted window solves (no
     # reference counterpart — the reference builds dynamic Ceres
     # problems; we compile one executable per static shape)

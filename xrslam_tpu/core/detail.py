@@ -117,9 +117,17 @@ class VIOPipeline:
         # reference counts frames, feature_tracker.cpp:47-49; frame ids
         # are globally monotonic and would alias across instances)
         self._frame_count: int = 0
-        # worker_overlap: the issued-but-not-yet-processed frame whose
-        # backend stage runs during the NEXT frame's tracker round trip
-        self._deferred_issue: Optional[FrameRec] = None
+        # worker_overlap: issued-but-not-yet-processed frames whose
+        # backend stage runs during a LATER frame's tracker round trip.
+        # Depth 1 (overlap): frame t's backend runs inside frame t+1's
+        # call. Depth 2 (pipelined_writeback): frame t's backend runs at
+        # the TOP of frame t+2's call — BEFORE the host blocks on frame
+        # t+1's in-flight pack — so the backend's host work (extraction,
+        # uploads, solve dispatch) overlaps the tunnel round trip
+        # instead of extending the frame (uploads and execute dispatches
+        # do not contend with an in-flight pull; only blocking pulls
+        # serialize).
+        self._issue_queue: List[FrameRec] = []
 
     def set_localizer(self, localizer) -> None:
         """Install a visual-localization backend (MapLocalizer /
@@ -268,15 +276,36 @@ class VIOPipeline:
         import os as _os
 
         rider_ok = _os.environ.get("XR_FETCH_RIDER", "1") != "0"
-        if self.config.worker_overlap:
-            # overlapped backend: the previous frame's backend stage
-            # (initializer / sliding-window track) runs between the
-            # tracker's device dispatch and its blocking fetch, hiding
-            # ~all backend host work behind device compute + tunnel RTT.
-            # Returns the backend's freshly deferred write-back handle
-            # so the tracker can enqueue its pull on the fetch worker —
-            # it completes during inter-frame host work and the NEXT
-            # backend stage's materialize_pending finds it ready.
+        if self.config.worker_overlap and self.config.pipelined_writeback:
+            # depth-2 pipeline: the tracker submits its pack pull FIRST
+            # (carrying only EARLIER frames' solve buffers — the pull
+            # never waits on new solve programs), THEN runs the backend
+            # for the previous frame via `between` — its host work,
+            # uploads and solve dispatches all happen while the pull is
+            # in flight (puts/executes do not contend with a pull; the
+            # solves' device execution queues behind the pull request,
+            # which is fine — nothing waits on them until the write-back
+            # rides the NEXT frame's pack).
+            if rider_ok and self.swt is not None:
+                rider = self.swt.collect_riders()
+
+            def between():
+                # the queue head's tracker pack always landed in this
+                # frame's finish_pending (top of track_frame), so the
+                # backend reads fully-extended tracks
+                if self._issue_queue:
+                    with stage_timer("backend_overlap_time"):
+                        self._issue_frame(self._issue_queue.pop(0))
+        elif self.config.worker_overlap:
+            # overlapped backend (depth 1): the previous frame's backend
+            # stage (initializer / sliding-window track) runs between
+            # the tracker's device dispatch and its blocking fetch,
+            # hiding ~all backend host work behind device compute +
+            # tunnel RTT. Returns the backend's freshly deferred
+            # write-back handle so the tracker can enqueue its pull on
+            # the fetch worker — it completes during inter-frame host
+            # work and the NEXT backend stage's materialize_pending
+            # finds it ready.
             def between():
                 with stage_timer("backend_overlap_time"):
                     self._run_deferred_issue()
@@ -319,23 +348,21 @@ class VIOPipeline:
 
         if issue_tag:
             if self.config.worker_overlap:
-                # defer to the next frame's tracker round trip (the
-                # between-callback above); at most one frame in flight
-                self._deferred_issue = frame
+                # defer to a later frame's tracker round trip (depth 1:
+                # the between-callback; depth 2: the top-of-frame
+                # backend stage two frames later)
+                self._issue_queue.append(frame)
             else:
                 self._issue_frame(frame)
 
     def _run_deferred_issue(self):
-        f = self._deferred_issue
-        if f is None:
-            return
-        self._deferred_issue = None
-        self._issue_frame(f)
+        while self._issue_queue:
+            self._issue_frame(self._issue_queue.pop(0))
 
     def flush(self) -> None:
         """Complete deferred work at end of stream (worker_overlap):
-        finish the tracker's in-flight frame, issue the last tracked
-        frame, and land any pending device write-back. No-op
+        finish the tracker's in-flight frame, issue the remaining
+        tracked frames, and land any pending device write-back. No-op
         otherwise."""
         self.tracker.finish_pending()
         self._run_deferred_issue()

@@ -79,6 +79,28 @@ def _predict_slot(state, data, idx):
         bg=upd(state.bg, bg_prev), ba=upd(state.ba, ba_prev))
 
 
+@jax.jit
+def _inject_patch(state, pend_st, fmap, fmask, lmap, lmask):
+    """Masked slot override of an extraction's initial values from a
+    pending solve's device state (see _inject_solved). fmap/lmap are
+    full-width index arrays (unmatched slots masked), so every call
+    with the same (K, L, K_pending) shapes reuses one executable."""
+    from ..geometry import lie
+
+    qn = lie.quat_normalize(pend_st.q[fmap])
+    fm = fmask[:, None]
+    return state._replace(
+        q=jnp.where(fm, qn.astype(state.q.dtype), state.q),
+        p=jnp.where(fm, pend_st.p[fmap].astype(state.p.dtype), state.p),
+        v=jnp.where(fm, pend_st.v[fmap].astype(state.v.dtype), state.v),
+        bg=jnp.where(fm, pend_st.bg[fmap].astype(state.bg.dtype), state.bg),
+        ba=jnp.where(fm, pend_st.ba[fmap].astype(state.ba.dtype), state.ba),
+        inv_depth=jnp.where(
+            lmask, pend_st.inv_depth[lmap].astype(state.inv_depth.dtype),
+            state.inv_depth),
+    )
+
+
 class SlidingWindowTracker:
     # rotation-subframe merge trigger (reference hardcodes 9 with 3->1
     # grouping, sliding_window_tracker.cpp:375-377)
@@ -143,9 +165,21 @@ class SlidingWindowTracker:
         # frame and outputs are IMU-forward-propagated from the last
         # optimized state (frontend_worker.cpp worker loop +
         # detail.cpp:144-177 predict_pose).
-        self._pending_write = None   # (state, data, meta)
+        self._pending_writes: list = []  # FIFO of deferred write-backs
         self._latest_solved = None   # (t,q,p,v,bg,ba) fallback snapshot
         self._pending_loc = None     # staged localize result (lift cases)
+        # write-back pipeline depth: with pipelined_writeback the solve
+        # results may stay un-materialized for up to TWO frames (their
+        # buffers ride the tracker pack SUBMITTED BEFORE the backend
+        # stage runs, so the pack never waits on the current frame's
+        # solve programs); every extraction corrects its stale host
+        # reads by injecting the pending solves' device states
+        # (_inject_solved). Depth 1 reproduces the round-4 semantics
+        # exactly (drain-before-mirror).
+        self.max_pending = 2 if (config.pipelined_writeback
+                                 and config.worker_overlap
+                                 and config.deferred_subframe_write
+                                 and not config.parsac_flag) else 1
         # event counters for inspection + the RD-VIO e2e proofs
         self.stats = {
             "subframe_lifts": 0,       # rotation/translation lift cases
@@ -252,30 +286,116 @@ class SlidingWindowTracker:
         previous frame's solved state — consumers (predict_pose)
         IMU-forward-propagate past it, exactly the reference's threaded
         output path."""
-        if self._pending_write is not None and self._latest_solved is not None:
+        if self._pending_writes and self._latest_solved is not None:
             return self._latest_solved
         f = self.last_frame_chain()
         return f.t, f.q, f.p, f.v, f.bg, f.ba
 
-    def materialize_pending(self) -> None:
-        """Fetch + apply the deferred write-back(s) (by now the solve
-        has long finished on device and the buffers usually rode the
-        tracker transfer). The staged localize result lands FIRST so a
-        window write-back of the same frame wins, matching the split
-        path's write order."""
-        self._materialize_loc()
-        if self._pending_write is None:
-            return
-        pend = self._pending_write
-        self._pending_write = None
-        self._latest_solved = None
+    def _apply_write(self, pend) -> None:
         out = write_back(self.map, pend["st"], pend["data"], pend["meta"],
                          write_landmarks=pend.get("write_landmarks", False),
                          extra=pend.get("extra"),
                          prefetched=pend["pf"])
+        # refresh the output anchor to the newest frame this write
+        # materialized (solved values are now in the host records)
+        newest = None
+        for f in pend["meta"].frames:
+            if not (f.fix_pose and f.fix_motion):
+                if newest is None or f.t > newest.t:
+                    newest = f
+        if newest is not None:
+            self._latest_solved = (newest.t, newest.q.copy(),
+                                   newest.p.copy(), newest.v.copy(),
+                                   newest.bg.copy(), newest.ba.copy())
         cb = pend.get("cb")
         if cb is not None:
             cb(out)
+
+    def materialize_pending(self) -> None:
+        """Fetch + apply ALL deferred write-backs oldest-first (by now
+        the solves have long finished on device and the buffers usually
+        rode a tracker transfer). The staged localize result lands
+        FIRST so a window write-back of the same frame wins, matching
+        the split path's write order."""
+        self._materialize_loc()
+        while self._pending_writes:
+            self._apply_write(self._pending_writes.pop(0))
+
+    def _materialize_for_mirror(self) -> None:
+        """The mirror_frame-time landing policy: apply every pending
+        write whose buffer has already ARRIVED (rode an earlier tracker
+        pack — free), then block only as needed to keep at most
+        max_pending-1 solves outstanding before the next one is
+        dispatched. Depth 1 degenerates to the full drain (round-4
+        semantics); depth 2 leaves the newest solve in flight so the
+        tracker pack it rides never waits on solve programs."""
+        self._materialize_loc()
+        while self._pending_writes and \
+                self._pending_writes[0]["pf"]._buf is not None:
+            self._apply_write(self._pending_writes.pop(0))
+        while len(self._pending_writes) >= self.max_pending:
+            self._apply_write(self._pending_writes.pop(0))
+
+    def _queue_write(self, **pend) -> None:
+        self._pending_writes.append(pend)
+        while len(self._pending_writes) > self.max_pending:
+            self._apply_write(self._pending_writes.pop(0))
+
+    def _inject_solved(self, state, frames, meta=None):
+        """Correct an extraction's initial values from solves whose
+        write-back has not landed yet (pipelined_writeback): the
+        extraction read host records up to max_pending solves stale;
+        override the affected slots with the pending solves' device
+        states, oldest→newest so the newest solve wins. Device-to-device
+        — no transfer; the slot maps are fixed-shape masked index
+        arrays so the jitted patch compiles once per (K, L, K_pending)
+        signature (dynamic-length gathers would recompile per frame).
+        Exactness: an injected slot receives precisely the value
+        write_back would have put into the host record (the host
+        normalize is mirrored on device), so the solve sequence is
+        identical to the drain-before-mirror schedule."""
+        if not self._pending_writes:
+            return state
+        K = int(state.q.shape[0])
+        L = int(state.inv_depth.shape[0])
+        for pend in self._pending_writes:
+            pmeta = pend["meta"]
+            idx = {f.id: j for j, f in enumerate(pmeta.frames)}
+            # inject every matching frame (incl. currently-fixed ones:
+            # a fixed slot's pending value equals what the host record
+            # will hold once the write lands, so the injection is the
+            # correct anchor either way)
+            fmap = np.zeros((K,), np.int32)
+            fmask = np.zeros((K,), bool)
+            for i, f in enumerate(frames):
+                j = idx.get(f.id)
+                if j is not None:
+                    fmap[i] = j
+                    fmask[i] = True
+            # landmarks: inverse depth transfers only between slots
+            # with the SAME anchor ray (window slides re-anchor tracks)
+            lmap = np.zeros((L,), np.int32)
+            lmask = np.zeros((L,), bool)
+            if meta is not None and pend.get("write_landmarks"):
+                pslot = {}
+                for l, tid in enumerate(pmeta.track_ids):
+                    if pmeta.landmark_mask[l]:
+                        pslot[tid] = l
+                for l2, tid in enumerate(meta.track_ids):
+                    if not meta.landmark_mask[l2]:
+                        continue
+                    l = pslot.get(tid)
+                    if l is None:
+                        continue
+                    if meta.frames[meta.ref_idx[l2]].id \
+                            == pmeta.frames[pmeta.ref_idx[l]].id:
+                        lmap[l2] = l
+                        lmask[l2] = True
+            if not (fmask.any() or lmask.any()):
+                continue
+            state = _inject_patch(state, pend["st"], fmap, fmask, lmap,
+                                  lmask)
+        return state
 
     def _defer_writes(self) -> bool:
         # PARSAC consumes the refined previous pose on host each frame
@@ -289,9 +409,11 @@ class SlidingWindowTracker:
         IMU samples of skipped frames, extend tracks that continue from
         the window's latest frame, integrate + predict
         (reference :31-80)."""
-        # land the previous frame's deferred solve before any host code
-        # reads frame states (prediction, extraction, PARSAC)
-        self.materialize_pending()
+        # land deferred solves before host code reads frame states
+        # (prediction, extraction, PARSAC); with pipelined_writeback the
+        # newest solve may stay in flight — extractions correct their
+        # stale host reads via _inject_solved
+        self._materialize_for_mirror()
         self._tracker_map = tracker_map
         frame_i = self.last_frame_chain()
         idx_i = tracker_map.frame_index_by_id(frame_i.id)
@@ -464,6 +586,7 @@ class SlidingWindowTracker:
             all_frames_between=self._kf_between(frames),
             imu_cap=128,
         )
+        state = self._inject_solved(state, frames, meta)
         if self.marg is None:
             self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
         data = data._replace(marg=self.marg, use_marg=jnp.asarray(True))
@@ -539,11 +662,12 @@ class SlidingWindowTracker:
                 async_copy=False, label="loc")
 
         if self._defer_writes():
-            self._latest_solved = anchor_state
+            if self._latest_solved is None or not self._pending_writes:
+                self._latest_solved = anchor_state
             pf = write_back_start(st2, extra=(gates, tri_ok))
-            self._pending_write = dict(st=st2, data=data_eff, meta=meta_eff,
-                                       pf=pf, extra=(gates, tri_ok),
-                                       cb=apply_flags, write_landmarks=True)
+            self._queue_write(st=st2, data=data_eff, meta=meta_eff,
+                              pf=pf, extra=(gates, tri_ok),
+                              cb=apply_flags, write_landmarks=True)
             if pf_loc is not None:
                 self._pending_loc = dict(pf=pf_loc, target=target)
         else:
@@ -572,13 +696,14 @@ class SlidingWindowTracker:
 
     def collect_riders(self):
         """Deferred device→host buffers that should ride the next
-        tracker transfer (write-back, staged localize result)."""
+        tracker transfer (write-backs, staged localize result). Each
+        handle rides at most one pack (the tracker marks it _riding)."""
         out = []
         if self._pending_loc is not None:
             out.append(self._pending_loc["pf"])
-        if self._pending_write is not None:
-            out.append(self._pending_write["pf"])
-        return out
+        for pend in self._pending_writes:
+            out.append(pend["pf"])
+        return [h for h in out if not getattr(h, "_riding", False)]
 
     def prepare_fused_subframe(self, target: FrameRec):
         """Host half of the fused subframe step: subwindow extraction +
@@ -636,14 +761,16 @@ class SlidingWindowTracker:
                              + ctx["s_opts"].iterations)
         kf.fix_pose, kf.fix_motion = saved
         if self._defer_writes() and len(frames) >= 2:
-            # frames[-2] is the newest frame whose host record is
-            # already solved (materialized when this frame arrived)
-            f = frames[-2]
-            self._latest_solved = (f.t, f.q.copy(), f.p.copy(),
-                                   f.v.copy(), f.bg.copy(), f.ba.copy())
+            if self._latest_solved is None or not self._pending_writes:
+                # frames[-2] is the newest frame whose host record is
+                # already solved (materialized when this frame arrived);
+                # with older writes still pending, _apply_write keeps
+                # the anchor fresh as they land instead
+                f = frames[-2]
+                self._latest_solved = (f.t, f.q.copy(), f.p.copy(),
+                                       f.v.copy(), f.bg.copy(), f.ba.copy())
             pf = write_back_start(st2)
-            self._pending_write = dict(st=st2, data=s_data, meta=s_meta,
-                                       pf=pf)
+            self._queue_write(st=st2, data=s_data, meta=s_meta, pf=pf)
         else:
             write_back(self.map, st2, s_data, s_meta, write_landmarks=False)
 
@@ -700,7 +827,9 @@ class SlidingWindowTracker:
         )
         for f, (fp, fm) in zip(wframes, saved):
             f.fix_pose, f.fix_motion = fp, fm
+        # correct stale host reads from in-flight solves, then the
         # device-resident IMU prediction of the target (parsac-off path)
+        state = self._inject_solved(state, wframes, meta)
         state = self._apply_pred(state, wframes, data)
         # only the last preint entry (prev -> target) is a factor
         pm = np.zeros((self.K_slots + 2,), dtype=bool)
@@ -922,6 +1051,7 @@ class SlidingWindowTracker:
             all_frames_between=self._kf_between(frames),
             imu_cap=128,
         )
+        state = self._inject_solved(state, frames, meta)
         if self.marg is None:
             self.marg = MargPrior.gauge_fix(self.K_slots, self.L_slots, state)
         data = data._replace(marg=self.marg, use_marg=jnp.asarray(True))
@@ -967,9 +1097,9 @@ class SlidingWindowTracker:
             self._latest_solved = (f.t, f.q.copy(), f.p.copy(),
                                    f.v.copy(), f.bg.copy(), f.ba.copy())
             pf = write_back_start(st, extra=gates)
-            self._pending_write = dict(st=st, data=data, meta=meta, pf=pf,
-                                       extra=gates, cb=apply_gates,
-                                       write_landmarks=True)
+            self._queue_write(st=st, data=data, meta=meta, pf=pf,
+                              extra=gates, cb=apply_gates,
+                              write_landmarks=True)
         else:
             out = write_back(self.map, st, data, meta, extra=gates)
             apply_gates(out)
@@ -1168,6 +1298,7 @@ class SlidingWindowTracker:
             self.map, frames, self.K_sub, self.L_slots, self.noise,
             track_filter=tf, imu_cap=128,
         )
+        state = self._inject_solved(state, frames, meta)
         # tracks anchored at the (fixed) keyframe act as priors: depth
         # fixed (reference create_reprojection_prior_factor)
         refs = meta.ref_idx

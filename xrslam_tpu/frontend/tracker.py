@@ -262,46 +262,69 @@ class KLTFeatureTracker(FeatureTrackerBase):
             fetch["cvalid"] = cvalid
 
         if between is not None:
-            # pipelined: run the backend stage FIRST (its host work
-            # overlaps the KLT/GFTT programs already executing on
-            # device; its previous write-back was completed by
-            # finish_pending above, so materialize costs nothing), then
-            # fold its freshly deferred write-back buffer into THIS
-            # frame's pack as a rider leaf — steady state pays exactly
-            # ONE device→host round trip per frame. The pull runs on
-            # the fetch worker and track_frame RETURNS with it in
-            # flight; finish_pending() at the next frame's call (or
-            # flush) completes it, which also lands the rider before
-            # the next backend stage asks for it.
+            # pipelined: the backend stage's host work overlaps the
+            # KLT/GFTT programs already executing on device, and its
+            # deferred write-back buffers ride a tracker pack — steady
+            # state pays exactly ONE device→host round trip per frame.
+            # The pull runs on the fetch worker and track_frame RETURNS
+            # with it in flight; finish_pending() at the next frame's
+            # call (or flush) completes it, which also lands the riders
+            # before the backend asks for them.
+            #
+            # Two orderings:
+            #  - rider is None (depth-1): run the backend FIRST, fold
+            #    its fresh write-back into THIS pack — the pack then
+            #    waits on this frame's solve programs on device.
+            #  - rider pre-collected (pipelined_writeback, depth-2):
+            #    the pack carries only EARLIER frames' solve buffers
+            #    (already executed), so the pull never waits on the
+            #    current frame's solve programs. The backend still runs
+            #    BEFORE the submit: its window uploads are device_puts,
+            #    and puts SERIALIZE BEHIND an in-flight pull on the
+            #    tunnel (measured: running the backend during the pull
+            #    stalls its puts for the full round trip).
             import threading
 
-            pend = between()
-            # `between` may return one handle or a list of handles
-            # (deferred write-back, deferred localize result, ...);
-            # every one rides this frame's single transfer
             riders = []
-            if pend is not None:
+
+            def _attach(pend):
                 for i, h in enumerate(pend if isinstance(pend, (list, tuple))
                                       else [pend]):
                     if h is not None and h.flat is not None \
-                            and h._event is None:
-                        fetch[f"_rider{i}"] = h.flat
-                        riders.append((f"_rider{i}", h))
-            handle = fetch_packed_start(fetch, async_copy=False,
-                                        label="pack") if fetch else None
-            box = {}
-            ev_b = threading.Event()
+                            and h._event is None and h._buf is None \
+                            and not getattr(h, "_riding", False):
+                        h._riding = True
+                        key = f"_rider{len(riders)}"
+                        fetch[key] = h.flat
+                        riders.append((key, h))
 
-            def _pull_pack():
-                try:
-                    if handle is not None:
-                        box["vals"] = handle.get()
-                except BaseException as e:  # propagate to caller thread
-                    box["err"] = e
-                finally:
-                    ev_b.set()
+            def _submit():
+                handle = fetch_packed_start(fetch, async_copy=False,
+                                            label="pack") if fetch else None
+                box = {}
+                ev_b = threading.Event()
 
-            self._fetch_worker.submit(_pull_pack)
+                def _pull_pack():
+                    try:
+                        if handle is not None:
+                            box["vals"] = handle.get()
+                    except BaseException as e:  # propagate to caller
+                        box["err"] = e
+                    finally:
+                        ev_b.set()
+
+                self._fetch_worker.submit(_pull_pack)
+                return box, ev_b
+
+            if rider is not None:
+                _attach(rider)
+                box, ev_b = _submit()
+                between()
+            else:
+                pend = between()
+                if pend is not None:
+                    _attach(pend)
+                box, ev_b = _submit()
             self._pending = {
                 "frame": frame, "prev": prev, "ctx": track_ctx,
                 "detect": detect, "box": box, "event": ev_b,
@@ -315,7 +338,9 @@ class KLTFeatureTracker(FeatureTrackerBase):
             for i, h in enumerate(rider if isinstance(rider, (list, tuple))
                                   else [rider]):
                 if h is not None and h.flat is not None \
-                        and h._event is None:
+                        and h._event is None and h._buf is None \
+                        and not getattr(h, "_riding", False):
+                    h._riding = True
                     fetch[f"_rider{i}"] = h.flat
                     riders.append((f"_rider{i}", h))
         with stage_timer("tracker_fetch_time"):

@@ -110,6 +110,10 @@ def main(argv=None):
                     default="data")
     ap.add_argument("--modes", nargs="+", default=None,
                     help="parent: run these modes (default: data model)")
+    ap.add_argument("--match-batch", action="store_true",
+                    help="data mode: batch = device count (weak scaling, "
+                         "one sequence-window per device — the EuRoC "
+                         "multi-sequence deployment shape)")
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--json", help="write full results to this path")
     args = ap.parse_args(argv)
@@ -118,14 +122,16 @@ def main(argv=None):
         _child(args)
         return
 
-    fwd = []
-    for k in ("batch", "frames", "landmarks", "iters", "reps"):
-        fwd += [f"--{k}", str(getattr(args, k))]
-
     results = {}
     for mode in (args.modes or ["data", "model"]):
         rows = []
         for n in args.devices:
+            fwd = []
+            for k in ("batch", "frames", "landmarks", "iters", "reps"):
+                v = getattr(args, k)
+                if k == "batch" and args.match_batch and mode == "data":
+                    v = n
+                fwd += [f"--{k}", str(v)]
             r = _spawn(n, fwd, mode)
             base = rows[0]["windows_per_s"] if rows else r["windows_per_s"]
             dev0 = rows[0]["devices"] if rows else r["devices"]

@@ -27,6 +27,13 @@ def main(argv=None):
     ap.add_argument("--landmarks", type=int, default=500)
     ap.add_argument("--dir", default="/tmp/xrslam_bench_seq")
     ap.add_argument("--passes", type=int, default=4)
+    # EuRoC geometry: --width 752 --height 480 --focal 458
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--focal", type=float, default=None)
+    # RD-VIO's dynamic-outlier rejection (reference parsac_flag row,
+    # docs/en/benchmark.md:13); forces synchronous write-backs
+    ap.add_argument("--parsac", action="store_true")
     args = ap.parse_args(argv)
 
     from xrslam_tpu.config import load_config
@@ -34,13 +41,19 @@ def main(argv=None):
     from xrslam_tpu.tools.run_dataset import evaluate_ate, run_sequence
     from xrslam_tpu.utils import timing
 
-    # one directory per (frames, landmarks) so cached renders can never
-    # alias a different shape
-    ds_dir = os.path.join(args.dir, f"f{args.frames}_l{args.landmarks}")
+    # one directory per (frames, landmarks, geometry) so cached renders
+    # can never alias a different shape
+    focal = args.focal if args.focal is not None \
+        else 260.0 * args.width / 320.0
+    ds_dir = os.path.join(
+        args.dir, f"f{args.frames}_l{args.landmarks}"
+        + ("" if (args.width, args.height) == (320, 240)
+           else f"_{args.width}x{args.height}"))
     root = os.path.join(ds_dir, "mav0")
     if not os.path.exists(os.path.join(ds_dir, "slam.yaml")):
         render_dataset(ds_dir, n_frames=args.frames,
-                       n_landmarks=args.landmarks)
+                       n_landmarks=args.landmarks, width=args.width,
+                       height=args.height, focal=focal)
     config = load_config(os.path.join(ds_dir, "slam.yaml"),
                          os.path.join(ds_dir, "device.yaml"))
     # overlapped backend stage: frame t's backend host work runs inside
@@ -52,7 +65,8 @@ def main(argv=None):
         # depth-2 write-back pipeline: the per-frame pack pull never
         # waits on the current frame's solve programs (see
         # Config.pipelined_writeback)
-        pipelined_writeback=os.environ.get("XR_PIPE_WB", "1") != "0")
+        pipelined_writeback=os.environ.get("XR_PIPE_WB", "1") != "0",
+        parsac_flag=args.parsac or config.parsac_flag)
 
     uri = "euroc://" + root
     result = None
@@ -99,7 +113,8 @@ def main(argv=None):
         "metric": "pipeline_frames_per_s",
         "value": round(fps, 2),
         "unit": f"frames/s (full sequence drive, {args.frames} frames, "
-                "320x240, image KLT frontend + init + SWT + marg)",
+                f"{args.width}x{args.height}, image KLT frontend + init "
+                "+ SWT + marg)",
         "vs_baseline": round(fps / 20.0, 2),
         "frames_tracked": len(ts),
         "ate_rmse_m": round(float(ate), 4),

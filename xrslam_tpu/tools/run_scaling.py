@@ -38,6 +38,12 @@ import time
 def _child(args) -> None:
     """Measure solve throughput on this process's devices; print JSON."""
     import jax
+
+    # a site-wide customization may re-register an accelerator backend
+    # and rewrite jax_platforms in-process; the env var alone is not
+    # enough — pin CPU both ways or the child silently runs (and
+    # contends) on a single real accelerator
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from xrslam_tpu.estimation.solver import SolveOptions, solve_window

@@ -276,7 +276,11 @@ class VIOPipeline:
         import os as _os
 
         rider_ok = _os.environ.get("XR_FETCH_RIDER", "1") != "0"
-        if self.config.worker_overlap and self.config.pipelined_writeback:
+        # parsac consumes materialized writes within the SAME backend
+        # stage (judge_track_status priors), so its writes must ride the
+        # pack that lands BEFORE that stage — the depth-1 ordering below
+        if (self.config.worker_overlap and self.config.pipelined_writeback
+                and not self.config.parsac_flag):
             # depth-2 pipeline: the tracker submits its pack pull FIRST
             # (carrying only EARLIER frames' solve buffers — the pull
             # never waits on new solve programs), THEN runs the backend

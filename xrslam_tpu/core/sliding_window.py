@@ -80,6 +80,19 @@ def _predict_slot(state, data, idx):
 
 
 @jax.jit
+def _prior_T_parsac(q_b, p_b, q_bc, p_bc):
+    """World→camera 4×4 prior from a staged device-side body-pose
+    prediction (the host twin lives in judge_track_status)."""
+    from ..geometry import lie
+
+    q_wc = lie.quat_mul(q_b, q_bc)
+    p_wc = p_b + lie.quat_rotate(q_b, p_bc)
+    Rcw = lie.quat_to_matrix(q_wc).T
+    T = jnp.eye(4, dtype=p_b.dtype)
+    return T.at[:3, :3].set(Rcw).at[:3, 3].set(-(Rcw @ p_wc))
+
+
+@jax.jit
 def _inject_patch(state, pend_st, fmap, fmask, lmap, lmask):
     """Masked slot override of an extraction's initial values from a
     pending solve's device state (see _inject_solved). fmap/lmap are
@@ -156,6 +169,8 @@ class SlidingWindowTracker:
         # deferred localize result: (device WindowState, target FrameRec,
         # slot) — see localize_newframe(defer_write=True)
         self._loc_result = None
+        # staged device-side parsac pose prediction (see _predict_frame)
+        self._pred_parsac = None
         # deferred SUBFRAME write-back: the fused subframe solve is
         # dispatched but its result is NOT fetched until the next
         # frame's mirror_frame — the solve overlaps the next frame's
@@ -399,9 +414,13 @@ class SlidingWindowTracker:
 
     def _defer_writes(self) -> bool:
         # PARSAC consumes the refined previous pose on host each frame
-        # (judge_track_status prior), so deferral is parsac-off only
-        return self.config.deferred_subframe_write \
-            and not self.config.parsac_flag
+        # (judge_track_status prior) — but mirror_frame's
+        # _materialize_for_mirror lands every due write BEFORE track()
+        # reaches the parsac stage, so depth-1 deferral is safe with
+        # parsac too (the write-back rides the tracker pack instead of
+        # paying its own blocking round trip; max_pending stays 1 under
+        # parsac). Locked by test_synthetic_overlap_parity[True].
+        return self.config.deferred_subframe_write
 
     # ------------------------------------------------------------------
     def mirror_frame(self, tracker_map: PipelineMap, frame_id: int) -> bool:
@@ -462,6 +481,7 @@ class SlidingWindowTracker:
 
         self._pred_dev = None
         self._pred_frame = None
+        self._pred_parsac = None
         frame_j.bg = frame_i.bg.copy()
         frame_j.ba = frame_i.ba.copy()
         if not self.config.parsac_flag:
@@ -476,8 +496,11 @@ class SlidingWindowTracker:
             frame_j.v = frame_i.v.copy()
             self._pred_frame = frame_j
             return
-        # PARSAC's prior-pose PnP needs the predicted pose on host:
-        # upload the interval + integrate + predict + fetch
+        # PARSAC's prior-pose PnP needs the predicted pose — integrate
+        # + predict on device and STAGE the result: judge_track_status
+        # composes its prior pose in-program from these arrays and the
+        # host copy lands in judge's single combined pull (a separate
+        # fetch here cost a full ~25 ms round trip per frame)
         cap = needed_imu_cap([[frame_j]], floor=256)
         t_buf, w_buf, a_buf, n, t0 = interval_samples([frame_j], cap)
         if n == 0:
@@ -497,10 +520,28 @@ class SlidingWindowTracker:
         qj, pj, vj, _, _ = pre.predict(qi_d, pi_d, vi_d, bg_d, ba_d, d)
         q_b_dev = lie.quat_normalize(lie.quat_mul(qj, lie.quat_conj(qbi_d)))
         p_b_dev = pj - lie.quat_rotate(q_b_dev, pbi_d)
-        q_b, p_b, vj_h = fetch_packed((q_b_dev, p_b_dev, vj))
+        frame_j.q, frame_j.p = frame_i.q.copy(), frame_i.p.copy()
+        frame_j.v = frame_i.v.copy()
+        self._pred_parsac = (frame_j, q_b_dev, p_b_dev, vj)
+
+    def _land_pred_parsac(self, extra=None):
+        """Fetch + apply the staged parsac prediction (one packed
+        transfer; `extra` device leaves ride it and are returned)."""
+        pp = getattr(self, "_pred_parsac", None)
+        if pp is None:
+            return fetch_packed(extra) if extra is not None else None
+        self._pred_parsac = None
+        frame_j, q_b_dev, p_b_dev, vj = pp
+        if extra is not None:
+            q_b, p_b, vj_h, out = fetch_packed(
+                (q_b_dev, p_b_dev, vj, extra))
+        else:
+            q_b, p_b, vj_h = fetch_packed((q_b_dev, p_b_dev, vj))
+            out = None
         frame_j.q = nputil.quat_normalize(q_b)
         frame_j.p = p_b
         frame_j.v = vj_h
+        return out
 
     # ------------------------------------------------------------------
     def track(self) -> bool:
@@ -1352,6 +1393,7 @@ class SlidingWindowTracker:
             lens.append(max(tr.life, 0))
             kps.append(int(k))
         if len(P2D) < 20:
+            self._land_pred_parsac()  # frame pose still has to land
             return False
         N_CAP = 256
         n = min(len(P2D), N_CAP)
@@ -1364,29 +1406,40 @@ class SlidingWindowTracker:
         valid = np.zeros((N_CAP,), dtype=bool)
         valid[:n] = True
 
-        q_wc, p_wc = curr.camera_pose()
-        Rcw = nputil.quat_to_matrix(q_wc).T
-        tcw = -(Rcw @ p_wc)
-        prior_T = np.eye(4)
-        prior_T[:3, :3] = Rcw
-        prior_T[:3, 3] = tcw
+        # prior pose: composed ON DEVICE from the staged IMU prediction
+        # when one is pending — the host pose then lands in the same
+        # packed pull as the PnP mask (one round trip instead of two)
+        pp = getattr(self, "_pred_parsac", None)
+        if pp is not None and pp[0] is curr:
+            prior_T = _prior_T_parsac(pp[1], pp[2],
+                                      jnp.asarray(curr.q_bc),
+                                      jnp.asarray(curr.p_bc))
+        else:
+            q_wc, p_wc = curr.camera_pose()
+            Rcw = nputil.quat_to_matrix(q_wc).T
+            tcw = -(Rcw @ p_wc)
+            prior_np = np.eye(4)
+            prior_np[:3, :3] = Rcw
+            prior_np[:3, 3] = tcw
+            prior_T = jnp.asarray(prior_np)
         fu = curr.K[0, 0]
         T, mask, overlap, self.bin_conf, ok = pnp_mod.find_pnp_matrix_parsac_imu(
             self._next_key(), jnp.asarray(X), jnp.asarray(x2), jnp.asarray(ln),
-            jnp.asarray(prior_T), self.bin_conf,
+            prior_T, self.bin_conf,
             self.config.parsac_dynamic_probability,
             valid=jnp.asarray(valid), threshold=1.0 / fu,
             norm_scale=self.config.parsac_norm_scale,
         )
-        # locked pull: with worker_overlap this runs inside between()
-        # while the FetchWorker thread holds the one tunnel stream —
-        # a concurrent unlocked transfer wedges the tunneled TPU client
-        from ..utils.fetch import locked_asarray
-
-        mask = locked_asarray(mask)
+        # ONE locked packed pull for the mask + the staged prediction
+        # (fetch_packed serializes on TRANSFER_LOCK: with worker_overlap
+        # this runs inside between() while the FetchWorker thread holds
+        # the one tunnel stream — a concurrent unlocked transfer wedges
+        # the tunneled TPU client)
+        mask = np.asarray(self._land_pred_parsac(extra=mask))
 
         # epipolar ambiguity check between keyframe and current frame
         # using the IMU-predicted relative pose (reference :612-716)
+        q_wc, p_wc = curr.camera_pose()
         q_kfc, p_kfc = kf.camera_pose()
         R_kf = nputil.quat_to_matrix(q_kfc)
         R_cu = nputil.quat_to_matrix(q_wc)

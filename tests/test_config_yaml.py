@@ -145,3 +145,52 @@ def test_dataclass_defaults_match_reference():
     assert c.parsac_threshold == 3.0
     assert c.parsac_norm_scale == 1.0
     assert c.parsac_keyframe_check_size == 3
+
+
+def test_iphone_mobile_config_pair_loads():
+    """The checked-in mobile/iOS config axis
+    (configs/iphone_slam.yaml + configs/iphone12_sensor.yaml) loads
+    with the reference's values (reference:
+    xrslam-ios/visualizer/configs/slam_params.yaml and
+    "iPhone 12.yaml") and enables the camera-rate visual-PnP path."""
+    import os
+
+    import numpy as np
+
+    from xrslam_tpu.config import load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs", "iphone_slam.yaml"),
+                      os.path.join(repo, "configs", "iphone12_sensor.yaml"))
+
+    # mobile profile (slam_params.yaml)
+    assert cfg.sliding_window_size == 5
+    assert cfg.sliding_window_tracker_frequent == 3
+    assert cfg.solver_time_limit == 0.1
+    assert cfg.solver_iteration_limit == 10
+    assert cfg.feature_tracker_min_keypoint_distance == 25.0
+    assert cfg.feature_tracker_max_keypoint_detection == 300
+    assert cfg.visual_pnp_enable is True
+    assert cfg.visual_pnp_min_landmarks == 10
+    assert cfg.visual_localization_enable is False
+    assert cfg.parsac_dynamic_probability == 0.15
+    np.testing.assert_allclose(
+        cfg.output_to_body_rotation,
+        [0.0, -0.7071068, 0.7071068, 0.0])  # wxyz of xyzw input
+
+    # device ("iPhone 12.yaml")
+    assert cfg.camera_resolution == (640, 480)
+    K = cfg.camera_intrinsic
+    np.testing.assert_allclose(
+        [K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+        [477.89396911927014, 478.93641880878255,
+         320.806586299477, 231.07172384113187])
+    assert cfg.camera_distortion_flag is False
+    np.testing.assert_allclose(cfg.gyroscope_noise_cov,
+                               np.eye(3) * 2.8791302399999997e-8)
+    np.testing.assert_allclose(cfg.accelerometer_bias_noise_cov,
+                               np.eye(3) * 9.0e-6)
+    np.testing.assert_allclose(cfg.camera_to_body_translation,
+                               [0.033366085092802436, 0.009419070514053628,
+                                -0.006188374507046947])
+    np.testing.assert_allclose(cfg.keypoint_noise_cov, np.eye(2) * 0.5)

@@ -66,6 +66,9 @@ def main(argv=None):
         # waits on the current frame's solve programs (see
         # Config.pipelined_writeback)
         pipelined_writeback=os.environ.get("XR_PIPE_WB", "1") != "0",
+        # device-chained KLT (Config.chained_frontend): opt-in via
+        # XR_CHAINED=1
+        chained_frontend=os.environ.get("XR_CHAINED", "0") != "0",
         parsac_flag=args.parsac or config.parsac_flag)
 
     uri = "euroc://" + root

@@ -130,6 +130,22 @@ class Config:
     # reference's threaded-backend semantics under load). Requires
     # worker_overlap + deferred_subframe_write, parsac-off.
     pipelined_writeback: bool = False
+    # EXPERIMENTAL device-chained KLT frontend (requires worker_overlap
+    # + pipelined_writeback): frame n's KLT is dispatched directly from
+    # frame n-1's DEVICE-side outputs (stable keypoint slots, no host
+    # compaction), so the per-frame pack pull drops off the
+    # pull→host-relayout→KLT serial loop entirely — the host's Poisson
+    # re-filter / detection decisions land as a masked slot-update put
+    # one frame later. Measured on the tunneled TPU: 20.5 → 28-31 fps
+    # (the predicted structural ceiling). OFF by default: new
+    # detections join the device state two frames after detection
+    # (rotation-compensated injection), which breaks the subwindow
+    # extraction's KLT-chain-contiguity assumption (observation gaps
+    # {k, k+2}) and measurably degrades f32 end-to-end accuracy
+    # (ATE 0.09 → ~0.5 on the bench scene; f64 CPU runs are fine).
+    # Making the backend gap-tolerant is the remaining work to bank
+    # the ~40% throughput.
+    chained_frontend: bool = False
     # fixed landmark-slot capacities of the jitted window solves (no
     # reference counterpart — the reference builds dynamic Ceres
     # problems; we compile one executable per static shape)

@@ -151,6 +151,56 @@ def detect_no_translation(key, bearings_prev, bearings_next, valid, cfg) -> bool
     return misalignment < cfg.rotation_misalignment_threshold
 
 
+@partial(jax.jit, static_argnames=("rot_thresh_deg", "mis_thresh_deg",
+                                   "win", "iters", "eps", "border"))
+def _chained_track_step(key, prev_pyr, cur_pyr, pts, valid, bear,
+                        upd_keep, upd_pts, upd_mask, upd_bear,
+                        R_pred, K, Kinv,
+                        rot_thresh_deg, mis_thresh_deg,
+                        win, iters, eps, border):
+    """One frame of the device-chained frontend: apply the host's
+    (lagged) slot update, rotation-predict initial flow, run fwd+bwd
+    KLT from the DEVICE-side previous positions, and the fused
+    essential/rotation gates — no host input from the previous frame's
+    results is needed, so this dispatches before the previous pack has
+    landed (Config.chained_frontend).
+
+    Returns (nxt, status, b_next, no_trans); (nxt, status, b_next) is
+    also the next frame's device state."""
+    C = pts.shape[0]
+    f32 = pts.dtype
+    # host slot update (Poisson drops + new detections, one frame late)
+    pts = jnp.where(upd_mask[:, None], upd_pts.astype(f32), pts)
+    bear = jnp.where(upd_mask[:, None], upd_bear.astype(bear.dtype), bear)
+    valid = (valid & upd_keep) | upd_mask
+
+    # rotation-predicted initial flow (frame.cpp:82-93), in-program.
+    # f32 operands at HIGHEST: TPU matmuls multiply in bf16 by default,
+    # and ~0.4% bearing error is ~1 px of initial-flow error — enough
+    # to flip the 0.5 px reverse-consistency gate (CLAUDE.md, round 4)
+    HI = jax.lax.Precision.HIGHEST
+    H, W = cur_pyr[0].shape
+    pred_b = jnp.einsum("ij,nj->ni", R_pred.astype(bear.dtype), bear,
+                        precision=HI)
+    z = jnp.clip(pred_b[:, 2:3], 1e-6, None)
+    uv = jnp.einsum("ij,nj->ni", K.astype(bear.dtype), pred_b / z,
+                    precision=HI)[:, :2].astype(f32)
+    inb = ((uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0)
+           & (uv[:, 1] < H) & (pred_b[:, 2] > 0))
+    pts_init = jnp.where((inb & valid)[:, None], uv, pts)
+
+    nxt, status = klt.track_keypoints(prev_pyr, cur_pyr, pts, pts_init,
+                                      valid, win=win, iters=iters, eps=eps,
+                                      border=border)
+    bp = jnp.where(valid[:, None], bear,
+                   jnp.array([0.0, 0.0, 1.0], bear.dtype))
+    # nested jit inlines under trace
+    b_next, status, no_trans = _post_klt_gates(
+        key, nxt, status, bp, Kinv, rot_thresh_deg=rot_thresh_deg,
+        mis_thresh_deg=mis_thresh_deg)
+    return nxt, status, b_next, no_trans
+
+
 @partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y",
                                    "levels"))
 def _preprocess_image(im, clip_limit, tiles_x, tiles_y, levels):
@@ -184,6 +234,16 @@ class KLTFeatureTracker(FeatureTrackerBase):
         self._fetch_worker_inst = None  # lazy (worker_overlap only)
         self._pending: Optional[dict] = None  # in-flight pipelined frame
         self.last_finished: Optional[FrameRec] = None
+        # device-chained frontend (Config.chained_frontend): KLT chains
+        # from device-side state so dispatch never waits on the host's
+        # previous-frame bookkeeping
+        self.chained = bool(getattr(config, "chained_frontend", False)
+                            and config.worker_overlap
+                            and config.pipelined_writeback
+                            and not config.parsac_flag)
+        self._dev: Optional[tuple] = None   # (pts, valid, bear) on device
+        self._dev_frame_id = None           # frame the state corresponds to
+        self._slot_upd: Optional[tuple] = None  # staged (keep,pts,mask,bear)
 
         cfg = config
         # module-level jit keyed by static CLAHE params: a per-instance
@@ -238,6 +298,23 @@ class KLTFeatureTracker(FeatureTrackerBase):
 
         frame._pyr = pyr
         frame._pts = np.zeros((self.capacity, 2), dtype=np.float64)
+
+        if self.chained and between is not None \
+                and self._prev is not None and hasattr(self._prev, "_pyr"):
+            # device-chained path: KLT dispatches from device state —
+            # the previous frame's pack is finished AFTER this frame's
+            # dispatch + submit, off the critical serial loop. The
+            # state must correspond to the PREVIOUS frame (its pyramid
+            # is the template); at bootstrap/fallback boundaries,
+            # finishing the previous frame first seeds it from the
+            # standard path's final host layout.
+            if self._dev is None or self._dev_frame_id != self._prev.id:
+                self.finish_pending()
+            if self._dev is not None \
+                    and self._dev_frame_id == self._prev.id:
+                self._track_frame_chained(tracker_map, frame, rider,
+                                          between)
+                return
 
         # land the previous frame now — its fetch has been in flight
         # across the frame boundary; this frame's KLT dispatch needs its
@@ -383,13 +460,249 @@ class KLTFeatureTracker(FeatureTrackerBase):
                 h.complete_with(vals.pop(key))
         frame, prev = p["frame"], p["prev"]
         tracker_map = p["map"]
-        if p["ctx"] is not None:
-            self._finish_track(tracker_map, prev, frame, p["ctx"], vals)
-        if p["detect"]:
-            self._finish_detect(tracker_map, frame, vals)
+        if p["ctx"] is not None and p["ctx"].get("chained"):
+            keep = self._finish_track_chained(tracker_map, prev, frame, vals)
+            if p["detect"]:
+                self._finish_detect_chained(tracker_map, frame, vals, keep)
+            else:
+                # drops must still land on the device state
+                upts = np.zeros((self.capacity, 2), np.float32)
+                umask = np.zeros((self.capacity,), bool)
+                ubear = np.zeros((self.capacity, 3))
+                ubear[:, 2] = 1.0
+                self._slot_upd = (keep, upts, umask, ubear)
+        else:
+            if p["ctx"] is not None:
+                self._finish_track(tracker_map, prev, frame, p["ctx"], vals)
+            if p["detect"]:
+                self._finish_detect(tracker_map, frame, vals)
         if prev is not None and hasattr(prev, "_pyr"):
             del prev._pyr  # release_image_buffer
         self._finalize_frame(tracker_map, frame, p["image"])
+        if self.chained and not (p["ctx"] or {}).get("chained") \
+                and frame.track_ids.max() >= 0:
+            # this frame went through the standard (host-layout) path:
+            # (re)seed the device state from its FINAL compacted layout
+            # so the next chained dispatch pairs consistent slots with
+            # this frame's pyramid; any staged update is now stale
+            self._dev = (
+                jnp.asarray(frame._pts.astype(np.float32)),
+                jnp.asarray(frame.track_ids >= 0),
+                jnp.asarray(frame.bearings),
+            )
+            self._dev_frame_id = frame.id
+            self._slot_upd = None
+
+    # ------------------------------------------------------------------
+    # device-chained frontend (Config.chained_frontend)
+    # ------------------------------------------------------------------
+    def _track_frame_chained(self, tracker_map: PipelineMap,
+                             frame: FrameRec, rider, between) -> None:
+        """Chained-mode frame: dispatch KLT from DEVICE state (stable
+        keypoint slots), submit the pack, then finish the previous
+        frame (its pull completed ~a frame ago) and run the backend
+        stage. The serial pull→host-relayout→KLT loop of the standard
+        path disappears: the pull only gates bookkeeping that tolerates
+        one frame of lag (Poisson drops / detections land as a masked
+        slot-update put consumed by the NEXT dispatch)."""
+        import threading
+
+        from ..utils.timing import stage_timer
+
+        cfg = self.config
+        C = self.capacity
+        prev = self._prev
+        fetch = {}
+        ctx = None
+        with stage_timer("tracker_dispatch_time"):
+            if (self._dev is not None and prev is not None
+                    and hasattr(prev, "_pyr")):
+                if self._slot_upd is None:
+                    keep = np.ones((C,), bool)
+                    upts = np.zeros((C, 2), np.float32)
+                    umask = np.zeros((C,), bool)
+                    ubear = np.zeros((C, 3))
+                    ubear[:, 2] = 1.0
+                else:
+                    keep, upts, umask, ubear = self._slot_upd
+                    self._slot_upd = None
+                if self._Kinv_dev is None:
+                    self._Kinv_dev = jnp.asarray(np.linalg.inv(frame.K))
+                # rotation-predicted flow matrix (frame.cpp:82-93)
+                R = np.eye(3)
+                if cfg.feature_tracker_predict_keypoints \
+                        and len(frame.imu_t) > 0:
+                    dq = self._gyro_delta_q(prev, frame)
+                    q_cam = nputil.quat_mul(
+                        nputil.quat_conj(prev.q_bc),
+                        nputil.quat_mul(prev.q_bi, nputil.quat_mul(
+                            dq, nputil.quat_mul(
+                                nputil.quat_conj(frame.q_bi), frame.q_bc))))
+                    R = nputil.quat_to_matrix(nputil.quat_conj(q_cam))
+                self._last_R = R
+                key = jax.random.PRNGKey(self._rng.integers(2**31))
+                nxt, status, b_next, no_trans = _chained_track_step(
+                    key, prev._pyr, frame._pyr,
+                    self._dev[0], self._dev[1], self._dev[2],
+                    jnp.asarray(keep), jnp.asarray(upts),
+                    jnp.asarray(umask), jnp.asarray(ubear),
+                    jnp.asarray(R), jnp.asarray(frame.K),
+                    self._Kinv_dev,
+                    rot_thresh_deg=float(cfg.rotation_ransac_threshold),
+                    mis_thresh_deg=float(cfg.rotation_misalignment_threshold),
+                    win=21, iters=30, eps=0.01, border=20)
+                self._dev = (nxt, status, b_next)
+                self._dev_frame_id = frame.id
+                fetch["nxt"] = nxt
+                fetch["status"] = status
+                fetch["b_next"] = b_next
+                fetch["no_trans"] = no_trans
+                ctx = {"chained": True}
+
+            detect = getattr(frame, "_detect_tag", True)
+            if detect:
+                cand, resp, cvalid = img_ops.gftt_candidates(
+                    frame._pyr[0], max_candidates=1024, quality_level=1e-3,
+                    border=20)
+                fetch["cand"] = cand
+                fetch["cvalid"] = cvalid
+
+        riders = []
+        for h in (rider or []):
+            if h is not None and h.flat is not None and h._event is None \
+                    and h._buf is None and not getattr(h, "_riding", False):
+                h._riding = True
+                k = f"_rider{len(riders)}"
+                fetch[k] = h.flat
+                riders.append((k, h))
+        handle = fetch_packed_start(fetch, async_copy=False,
+                                    label="pack") if fetch else None
+        box = {}
+        ev_b = threading.Event()
+
+        def _pull_pack():
+            try:
+                if handle is not None:
+                    box["vals"] = handle.get()
+            except BaseException as e:
+                box["err"] = e
+            finally:
+                ev_b.set()
+
+        self._fetch_worker.submit(_pull_pack)
+
+        # the previous frame's pull was submitted a full frame period
+        # ago — finishing it here costs ~nothing and stages the slot
+        # update for the NEXT dispatch; the backend stage then runs with
+        # its tracker data landed, while THIS frame's pull is in flight
+        self.finish_pending()
+        between()
+
+        self._pending = {
+            "frame": frame, "prev": prev, "ctx": ctx,
+            "detect": detect, "box": box, "event": ev_b,
+            "map": tracker_map, "image": getattr(frame, "_image", None),
+            "riders": riders,
+        }
+        self._prev = frame
+
+    def _finish_track_chained(self, tracker_map: PipelineMap,
+                              prev: FrameRec, frame: FrameRec, vals: dict):
+        """Host half of chained tracking: slot-STABLE track extension +
+        the track-length-priority Poisson re-filter; stages the keep
+        mask for the device slot update."""
+        cfg = self.config
+        C = self.capacity
+        nxt = np.asarray(vals["nxt"], dtype=np.float64)
+        status = np.asarray(vals["status"]).copy()
+        b_next = np.asarray(vals["b_next"], dtype=np.float64)
+        if bool(vals["no_trans"]):
+            frame.no_translation = True
+
+        lengths = np.zeros((C,), dtype=np.int64)
+        keep_ok = np.zeros((C,), dtype=bool)
+        for i in np.nonzero(status)[0]:
+            # the device tracked a superset (host drops land one frame
+            # late); only slots with a live host track extend
+            if prev.track_ids[i] < 0:
+                continue
+            tr = tracker_map.get_track(prev, int(i))
+            if tr is None or tr.trash:
+                continue
+            lengths[i] = len(tr.obs)
+            keep_ok[i] = True
+        order = np.argsort(-lengths, kind="stable")
+        accept = _poisson_accept(nxt, order, keep_ok,
+                                 cfg.feature_tracker_min_keypoint_distance)
+        keep = np.zeros((C,), dtype=bool)
+        for i in np.nonzero(accept)[0]:
+            tr = tracker_map.get_track(prev, int(i), create=True)
+            frame.bearings[i] = b_next[i]
+            frame._pts[i] = nxt[i]
+            tracker_map.add_observation(tr, frame, int(i))
+            tr.life += 1
+            keep[i] = True
+        return keep
+
+    def _finish_detect_chained(self, tracker_map: PipelineMap,
+                               frame: FrameRec, vals: dict,
+                               keep: np.ndarray):
+        """Detection into FREE slots + the staged device injection."""
+        cfg = self.config
+        C = self.capacity
+        used = np.nonzero(frame.track_ids >= 0)[0]
+        upts = np.zeros((C, 2), np.float32)
+        umask = np.zeros((C,), bool)
+        ubear = np.zeros((C, 3))
+        ubear[:, 2] = 1.0
+        free = [i for i in range(C) if frame.track_ids[i] < 0]
+        if "cand" in vals and free:
+            cand = np.asarray(vals["cand"])
+            cvalid = np.asarray(vals["cvalid"])
+            n_pre = len(used)
+            all_pts = np.concatenate([frame._pts[used], cand], axis=0)
+            keep_ok = np.concatenate([np.ones(n_pre, bool), cvalid])
+            order = np.arange(len(all_pts))
+            accept = _poisson_accept(
+                all_pts, order, keep_ok,
+                cfg.feature_tracker_min_keypoint_distance)
+            sel = np.nonzero(accept[n_pre:])[0]
+            sel = sel[:cfg.feature_tracker_max_keypoint_detection]
+            Kinv = np.linalg.inv(frame.K)
+            # the injection lands one frame later: its KLT template is
+            # sampled in the NEXT frame's previous pyramid, so map the
+            # detection through the rotation prediction of the step in
+            # flight (stale-template drift was ~3 px/frame, measured)
+            Rl = getattr(self, "_last_R", None)
+            H_img, W_img = (self._prev._pyr[0].shape
+                            if self._prev is not None
+                            and hasattr(self._prev, "_pyr")
+                            else (None, None))
+            fi = 0
+            for i in sel:
+                if fi >= len(free):
+                    break
+                s = free[fi]
+                fi += 1
+                b = Kinv @ np.array([cand[i, 0], cand[i, 1], 1.0])
+                b /= np.linalg.norm(b)
+                frame.bearings[s] = b
+                frame._pts[s] = cand[i]
+                tracker_map.get_track(frame, s, create=True)
+                b2, uv2 = b, cand[i]
+                if Rl is not None:
+                    b2 = Rl @ b
+                    if b2[2] > 1e-6:
+                        uvh = frame.K @ (b2 / b2[2])
+                        uv2 = uvh[:2]
+                    b2 = b2 / np.linalg.norm(b2)
+                    if H_img is not None and not (
+                            0 <= uv2[0] < W_img and 0 <= uv2[1] < H_img):
+                        b2, uv2 = b, cand[i]  # rotated out: keep raw
+                upts[s] = uv2
+                umask[s] = True
+                ubear[s] = b2
+        self._slot_upd = (keep, upts, umask, ubear)
 
     def _finalize_frame(self, tracker_map: PipelineMap, frame: FrameRec,
                         image: np.ndarray) -> None:

@@ -244,6 +244,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
         self._dev: Optional[tuple] = None   # (pts, valid, bear) on device
         self._dev_frame_id = None           # frame the state corresponds to
         self._slot_upd: Optional[tuple] = None  # staged (keep,pts,mask,bear)
+        self._pending_new: list = []  # staged first-obs of new detections
 
         cfg = config
         # module-level jit keyed by static CLAHE params: a per-instance
@@ -492,6 +493,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
             )
             self._dev_frame_id = frame.id
             self._slot_upd = None
+            self._pending_new = []
 
     # ------------------------------------------------------------------
     # device-chained frontend (Config.chained_frontend)
@@ -642,6 +644,19 @@ class KLTFeatureTracker(FeatureTrackerBase):
             tracker_map.add_observation(tr, frame, int(i))
             tr.life += 1
             keep[i] = True
+        # place detections staged by the previous finish: their first
+        # observation lands HERE at the rotation-compensated position —
+        # the same position the device injection tracks from, so the
+        # observation chain stays CONTIGUOUS (the {k, k+2} gap broke
+        # the subwindow extraction's chain assumption, ~5x f32 ATE)
+        for s_, uv2, b2 in getattr(self, "_pending_new", ()):
+            if frame.track_ids[s_] >= 0:
+                continue  # slot got re-occupied (shouldn't happen)
+            frame.bearings[s_] = b2
+            frame._pts[s_] = uv2
+            tracker_map.get_track(frame, s_, create=True)
+            keep[s_] = True
+        self._pending_new = []
         return keep
 
     def _finish_detect_chained(self, tracker_map: PipelineMap,
@@ -679,6 +694,7 @@ class KLTFeatureTracker(FeatureTrackerBase):
                             and hasattr(self._prev, "_pyr")
                             else (None, None))
             fi = 0
+            news = []
             for i in sel:
                 if fi >= len(free):
                     break
@@ -686,9 +702,6 @@ class KLTFeatureTracker(FeatureTrackerBase):
                 fi += 1
                 b = Kinv @ np.array([cand[i, 0], cand[i, 1], 1.0])
                 b /= np.linalg.norm(b)
-                frame.bearings[s] = b
-                frame._pts[s] = cand[i]
-                tracker_map.get_track(frame, s, create=True)
                 b2, uv2 = b, cand[i]
                 if Rl is not None:
                     b2 = Rl @ b
@@ -699,9 +712,15 @@ class KLTFeatureTracker(FeatureTrackerBase):
                     if H_img is not None and not (
                             0 <= uv2[0] < W_img and 0 <= uv2[1] < H_img):
                         b2, uv2 = b, cand[i]  # rotated out: keep raw
+                # the track's FIRST observation is recorded on the NEXT
+                # frame at the rotation-compensated position — the same
+                # position the device injection tracks from
+                news.append((int(s), np.asarray(uv2, float),
+                             np.asarray(b2, float)))
                 upts[s] = uv2
                 umask[s] = True
                 ubear[s] = b2
+            self._pending_new = news
         self._slot_upd = (keep, upts, umask, ubear)
 
     def _finalize_frame(self, tracker_map: PipelineMap, frame: FrameRec,
